@@ -1,12 +1,14 @@
 """Test harness: run everything on a virtual 8-device CPU mesh.
 
-Multi-chip TPU hardware is not available in CI; shardings are validated on
-host-platform virtual devices exactly as the driver's dryrun does.
+The container's sitecustomize pre-imports jax and registers the TPU (axon)
+plugin regardless of JAX_PLATFORMS, so we cannot force CPU via env alone.
+Instead: inject the host-platform device-count flag before the (lazily
+created) CPU client exists, and pin the default device to CPU. Sharding
+tests grab the 8 virtual CPU devices explicitly.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,6 +18,11 @@ import jax  # noqa: E402
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+_CPU = jax.devices("cpu")
+jax.config.update("jax_default_device", _CPU[0])
+# also steer any platform-keyed logic in the library
+os.environ["VINGS_FORCE_CPU"] = "1"
+
 
 @pytest.fixture(scope="session")
 def rng():
@@ -23,5 +30,6 @@ def rng():
 
 
 @pytest.fixture(scope="session")
-def devices():
-    return jax.devices()
+def cpu_devices():
+    assert len(_CPU) >= 8, "expected 8 virtual CPU devices"
+    return _CPU

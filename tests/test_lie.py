@@ -78,14 +78,14 @@ def test_retr_small_step_matches_first_order(rng):
 
 
 def test_adjoint_identity(rng):
-    """Adj(X) xi == log(X exp(xi) X^-1) to first order."""
+    """Adj(X) xi == log(X exp(xi) X^-1) — exact for the SE3 adjoint."""
     p = random_se3(rng, 4)
-    xi = jnp.asarray(rng.normal(size=(4, 6)) * 1e-4, jnp.float32)
+    xi = jnp.asarray(rng.normal(size=(4, 6)) * 0.1, jnp.float32)
     lhs = jnp.einsum("nij,nj->ni", lie.se3_adjoint(p), xi)
     rhs = lie.se3_log(lie.se3_mul(p, lie.se3_mul(lie.se3_exp(xi),
                                                  lie.se3_inv(p))))
     np.testing.assert_allclose(np.asarray(lhs), np.asarray(rhs),
-                               rtol=1e-2, atol=1e-7)
+                               rtol=1e-3, atol=1e-4)
 
 
 def test_wxyz_matrix_matches_xyzw(rng):

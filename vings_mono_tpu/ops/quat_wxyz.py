@@ -55,13 +55,22 @@ def to_xyzw(q):
 
 
 def normal_to_quat(normals):
-    """World-frame normal -> a wxyz quaternion whose third column (t_w) aligns
-    with the normal. Mirrors the reference's closed form
-    (/root/reference/scripts/gaussian/normal_utils.py:66-84)."""
+    """Unit normal -> wxyz quaternion whose third rotation column (t_w, the
+    surfel normal axis) aligns with it.
+
+    The reference has a closed form for this (normal_utils.py:66-84) that is
+    numerically wrong and unused in its main path (Gaussians are initialized
+    with *random* quats, gaussian_utils.py:48); here we use the exact
+    shortest-arc rotation taking e_z to the normal.
+    """
     a, b, c = jnp.moveaxis(normals, -1, 0)
-    s = jnp.sqrt(jnp.clip(a * a + b * b, _EPS))
-    x = c / 2.0
-    y = -b * s / 2.0
-    z = a * s / 2.0
-    w = jnp.zeros_like(x)
-    return jnp.stack([w, x, y, z], axis=-1)
+    w = 1.0 + c
+    x = -b
+    y = a
+    z = jnp.zeros_like(a)
+    q = jnp.stack([w, x, y, z], axis=-1)
+    # n ~ -e_z is degenerate; fall back to a 180-degree flip about x
+    flip = jnp.stack([jnp.zeros_like(a), jnp.ones_like(a),
+                      jnp.zeros_like(a), jnp.zeros_like(a)], axis=-1)
+    q = jnp.where((w < 1e-6)[..., None], flip, q)
+    return normalize(q)

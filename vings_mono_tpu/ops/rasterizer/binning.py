@@ -1,0 +1,160 @@
+"""Tile binning for the 2DGS rasterizer — pure XLA, non-differentiable.
+
+Replaces the CUDA rasterizer's duplicate-keys + radix-sort binning stage
+(reference surface: /root/repo/SURVEY.md §2.9 `diff_surfel_rasterization`)
+with a single fixed-capacity argsort:
+
+  1. every Gaussian emits up to KT = side*side (tile, gaussian) candidates
+     covering its screen bbox (huge Gaussians are clamped to `side` tiles per
+     axis — the reference prunes radii > 25 px anyway,
+     /root/reference/scripts/gaussian/gaussian_model.py:122),
+  2. candidates get a single uint32 key (tile_id << RANK_BITS | depth_rank)
+     and one argsort groups them by tile, front-to-back within each tile,
+  3. each tile's run is padded to a multiple of the kernel chunk size G so
+     the Pallas grid can walk chunks with static shapes.
+
+All shapes are static (jit-friendly): pair capacity P_CAP bounds the total
+duplicated pairs; overflow is dropped from the far end (farthest Gaussians in
+the largest tiles) and reported via `n_pairs`.
+
+Because Gaussians barely move during one keyframe's 50-100 train iterations,
+the binning can be computed once per (keyframe-window, camera) and *reused
+across iterations* — pruning mid-training only flips alive masks, which zero
+contributions without invalidating the pair lists. This amortizes the sort,
+which a per-iteration CUDA radix sort does not need but a TPU argsort wants.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .projection import ProjectedSurfels
+
+TILE = 16
+RANK_BITS = 20          # up to 2^20 visible Gaussians
+MAX_TILES_AXIS = 4096   # key budget: tile ids need < 12 bits
+
+
+class BinnedScene(NamedTuple):
+    pair_idx: jnp.ndarray    # (P_CAP,) int32 Gaussian index per pair slot
+    pair_valid: jnp.ndarray  # (P_CAP,) bool
+    chunk_tile: jnp.ndarray  # (C_CAP,) int32 flat tile id per kernel chunk
+    chunk_first: jnp.ndarray  # (C_CAP,) int32, 1 = first chunk of its tile
+    n_chunks: jnp.ndarray    # () int32 — real chunk count (rest are no-ops)
+    n_pairs: jnp.ndarray     # () int32 — real pair count before padding
+    overflow: jnp.ndarray    # () bool — pair capacity exceeded (tail dropped)
+
+
+def num_tiles(height, width, tile=TILE):
+    return ((height + tile - 1) // tile, (width + tile - 1) // tile)
+
+
+@functools.partial(jax.jit, static_argnames=("height", "width", "p_cap",
+                                             "chunk", "side", "tile"))
+def bin_surfels(proj: ProjectedSurfels, *, height: int, width: int,
+                p_cap: int, chunk: int = 128, side: int = 5,
+                tile: int = TILE) -> BinnedScene:
+    """Build the tile-grouped pair list. See module docstring."""
+    N = proj.packed.shape[0]
+    nty, ntx = num_tiles(height, width, tile)
+    T = nty * ntx
+    assert T < (1 << (32 - RANK_BITS)), "too many tiles for the sort key"
+    K = side * side
+    c_cap = p_cap // chunk
+
+    # ---- depth ranks (front-to-back) over visible Gaussians
+    big = jnp.float32(jnp.inf)
+    order = jnp.argsort(jnp.where(proj.visible, proj.depth, big))
+    rank = jnp.zeros((N,), jnp.int32).at[order].set(
+        jnp.arange(N, dtype=jnp.int32))
+
+    # ---- candidate tiles per Gaussian (bbox clamped to side x side)
+    px, py = proj.center2d[:, 0], proj.center2d[:, 1]
+    r = proj.radius
+    tx0 = jnp.clip(jnp.floor((px - r) / tile), 0, ntx - 1).astype(jnp.int32)
+    ty0 = jnp.clip(jnp.floor((py - r) / tile), 0, nty - 1).astype(jnp.int32)
+    tx1 = jnp.clip(jnp.floor((px + r) / tile), 0, ntx - 1).astype(jnp.int32)
+    ty1 = jnp.clip(jnp.floor((py + r) / tile), 0, nty - 1).astype(jnp.int32)
+    # clamp the span, keeping the center tile inside
+    ctx = jnp.clip((px / tile).astype(jnp.int32), tx0, tx1)
+    cty = jnp.clip((py / tile).astype(jnp.int32), ty0, ty1)
+    tx0 = jnp.maximum(tx0, ctx - (side - 1))
+    ty0 = jnp.maximum(ty0, cty - (side - 1))
+    tx1 = jnp.minimum(tx1, tx0 + side - 1)
+    ty1 = jnp.minimum(ty1, ty0 + side - 1)
+
+    dk = jnp.arange(K, dtype=jnp.int32)
+    dxk = (dk % side)[None, :]
+    dyk = (dk // side)[None, :]
+    tx = tx0[:, None] + dxk                      # (N, K)
+    ty = ty0[:, None] + dyk
+    cand_valid = (proj.visible[:, None] & (tx <= tx1[:, None])
+                  & (ty <= ty1[:, None]))
+    tile_id = (ty * ntx + tx).astype(jnp.uint32)
+
+    # ---- single sort groups by (tile, depth)
+    INVALID = jnp.uint32(0xFFFFFFFF)
+    key = jnp.where(cand_valid,
+                    (tile_id << RANK_BITS) | rank[:, None].astype(jnp.uint32),
+                    INVALID).reshape(-1)
+    perm = jnp.argsort(key)                       # (N*K,)
+    skey = key[perm]
+    s_gauss = (perm // K).astype(jnp.int32)
+    s_valid = skey != INVALID
+    s_tile = (skey >> RANK_BITS).astype(jnp.int32)
+
+    n_total = jnp.sum(s_valid.astype(jnp.int32))
+    overflow = n_total > p_cap
+    # keep only the first p_cap sorted candidates
+    skey = skey[:p_cap] if skey.shape[0] >= p_cap else jnp.pad(
+        skey, (0, p_cap - skey.shape[0]), constant_values=0xFFFFFFFF)
+    s_gauss = s_gauss[:p_cap] if s_gauss.shape[0] >= p_cap else jnp.pad(
+        s_gauss, (0, p_cap - s_gauss.shape[0]))
+    s_valid = s_valid[:p_cap] if s_valid.shape[0] >= p_cap else jnp.pad(
+        s_valid, (0, p_cap - s_valid.shape[0]))
+    s_tile = s_tile[:p_cap] if s_tile.shape[0] >= p_cap else jnp.pad(
+        s_tile, (0, p_cap - s_tile.shape[0]))
+
+    # ---- per-tile counts and padded offsets
+    ones = s_valid.astype(jnp.int32)
+    counts = jax.ops.segment_sum(ones, s_tile, num_segments=T)  # (T,)
+    padded = ((counts + chunk - 1) // chunk) * chunk
+    pad_off = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                               jnp.cumsum(padded)]).astype(jnp.int32)  # (T+1,)
+    raw_off = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                               jnp.cumsum(counts)]).astype(jnp.int32)
+
+    # destination slot: padded tile start + rank within tile
+    pos = jnp.arange(p_cap, dtype=jnp.int32)
+    pos_in_tile = pos - raw_off[s_tile]
+    dest = jnp.where(s_valid, pad_off[s_tile] + pos_in_tile, p_cap)
+    # clamp: padded layout may not fit in p_cap when overflowing
+    dest = jnp.where(dest < p_cap, dest, p_cap)
+
+    pair_idx = jnp.zeros((p_cap,), jnp.int32)
+    pair_valid = jnp.zeros((p_cap,), bool)
+    pair_idx = pair_idx.at[dest].set(s_gauss, mode="drop")
+    pair_valid = pair_valid.at[dest].set(s_valid, mode="drop")
+
+    # ---- chunk metadata via searchsorted on padded chunk boundaries
+    chunk_bounds = pad_off // chunk               # (T+1,) monotone
+    total_chunks = jnp.minimum(chunk_bounds[-1], c_cap)
+    cidx = jnp.arange(c_cap, dtype=jnp.int32)
+    chunk_tile = jnp.searchsorted(chunk_bounds, cidx, side="right") - 1
+    chunk_tile = jnp.clip(chunk_tile, 0, T - 1).astype(jnp.int32)
+    chunk_first = (cidx == chunk_bounds[chunk_tile]).astype(jnp.int32)
+    # out-of-range chunks: retarget at the last real tile, never "first"
+    last_tile = chunk_tile[jnp.maximum(total_chunks - 1, 0)]
+    in_range = cidx < total_chunks
+    chunk_tile = jnp.where(in_range, chunk_tile, last_tile)
+    chunk_first = jnp.where(in_range, chunk_first, 0)
+
+    return BinnedScene(pair_idx=pair_idx, pair_valid=pair_valid,
+                       chunk_tile=chunk_tile, chunk_first=chunk_first,
+                       n_chunks=total_chunks.astype(jnp.int32),
+                       n_pairs=jnp.minimum(n_total, p_cap),
+                       overflow=overflow)
