@@ -110,19 +110,24 @@ def bin_surfels(proj: ProjectedSurfels, *, height: int, width: int,
     n_total = jnp.sum(s_valid.astype(jnp.int32))
     overflow = n_total > p_cap
     # keep only the first p_cap sorted candidates
-    skey = skey[:p_cap] if skey.shape[0] >= p_cap else jnp.pad(
-        skey, (0, p_cap - skey.shape[0]), constant_values=0xFFFFFFFF)
-    s_gauss = s_gauss[:p_cap] if s_gauss.shape[0] >= p_cap else jnp.pad(
-        s_gauss, (0, p_cap - s_gauss.shape[0]))
-    s_valid = s_valid[:p_cap] if s_valid.shape[0] >= p_cap else jnp.pad(
-        s_valid, (0, p_cap - s_valid.shape[0]))
-    s_tile = s_tile[:p_cap] if s_tile.shape[0] >= p_cap else jnp.pad(
-        s_tile, (0, p_cap - s_tile.shape[0]))
+
+    def fit(x, fill):
+        if x.shape[0] >= p_cap:
+            return x[:p_cap]
+        pad = jnp.full((p_cap - x.shape[0],), fill, x.dtype)
+        return jnp.concatenate([x, pad])
+
+    s_gauss = fit(s_gauss, 0)
+    s_valid = fit(s_valid, False)
+    s_tile = fit(s_tile, T)  # out-of-range tile id -> dropped by segment_sum
 
     # ---- per-tile counts and padded offsets
     ones = s_valid.astype(jnp.int32)
     counts = jax.ops.segment_sum(ones, s_tile, num_segments=T)  # (T,)
     padded = ((counts + chunk - 1) // chunk) * chunk
+    # every tile gets >= 1 chunk so its output block is initialized by the
+    # kernel's first-chunk write (empty tiles render all-zero)
+    padded = jnp.maximum(padded, chunk)
     pad_off = jnp.concatenate([jnp.zeros(1, jnp.int32),
                                jnp.cumsum(padded)]).astype(jnp.int32)  # (T+1,)
     raw_off = jnp.concatenate([jnp.zeros(1, jnp.int32),

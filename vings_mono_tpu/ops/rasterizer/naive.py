@@ -81,15 +81,11 @@ def render_naive(packed, order, n_valid_mask, camera: Camera, fx, fy, cx, cy,
     dy = ys.reshape(-1)[None, :] - p[:, PK_C2Y][:, None]
     rho2d = FILTER_INV_SQUARE * (dx * dx + dy * dy)
     rho = jnp.minimum(rho3d, rho2d)
-    alpha = p[:, PK_OPAC][:, None] * jnp.exp(-0.5 * rho)
-    alpha = jnp.minimum(alpha, MAX_ALPHA)
-    # cutoff + validity + behind-camera intersection guard
-    keep = (rho < CUTOFF_SIGMA**2 * 1.0 + 100.0)  # generous; alpha eps below rules
-    alpha = jnp.where(m[:, None] & (alpha >= ALPHA_EPS) & (z > 0.05), alpha, 0.0)
+    a_raw = p[:, PK_OPAC][:, None] * jnp.exp(-0.5 * rho)
+    keep = m[:, None] & (a_raw >= ALPHA_EPS) & (z > 0.05)
+    alpha = jnp.where(keep, jnp.minimum(a_raw, MAX_ALPHA), 0.0)
 
     # front-to-back weights: w_i = a_i * prod_{j<i} (1 - a_j)
-    T_excl = jnp.cumprod(1.0 - alpha, axis=0) / (1.0 - alpha)
-    # numerically safer exclusive cumprod:
     T_excl = jnp.concatenate([jnp.ones_like(alpha[:1]),
                               jnp.cumprod(1.0 - alpha, axis=0)[:-1]], axis=0)
     w = alpha * T_excl                       # (N, P)

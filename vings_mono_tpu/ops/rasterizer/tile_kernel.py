@@ -1,0 +1,405 @@
+"""Pallas TPU tile rasterizer for 2D Gaussian surfels (forward + custom VJP).
+
+TPU-native replacement for the blend stage of `diff_surfel_rasterization`
+(reference call surface: /root/repo/SURVEY.md §2.9). Design notes:
+
+* The grid is one step per (tile, chunk) pair, flattened to a single
+  dimension ordered "all chunks of tile 0, all chunks of tile 1, ...".
+  Scalar-prefetched arrays map each step to its tile and flag the first chunk
+  (see ops/rasterizer/binning.py). Pallas pipelines the pair-data blocks
+  (HBM->VMEM) automatically, and consecutive steps that write the same output
+  tile keep the accumulator block resident in VMEM.
+
+* Pair data is laid out feature-major (PK_PAD, P_CAP) so a chunk block
+  (PK_PAD, chunk) has a 128-aligned lane dimension.
+
+* Per (Gaussian, pixel) coverage is a ratio of ray-linear forms (see
+  ops/rasterizer/projection.py): ~20 VPU FMAs + one reciprocal + one exp.
+  Channel accumulation sum_i w_i * f_i runs on the MXU.
+
+* Front-to-back blending w_i = a_i * prod_{j<i}(1 - a_j) uses an associative
+  scan along the chunk axis plus per-pixel carries in VMEM scratch that live
+  across grid steps (re-initialized at each tile's first chunk).
+
+* The backward pass uses the suffix-sum identity
+    dL/da_i = T_i * gw_i - S_i / (1 - a_i),
+    S_i = sum_{k>i} gw_k w_k = S_tot - prefix_incl(gw * w),
+  where S_tot per pixel is recovered from the *saved forward outputs*
+  (every output channel is sum w_i f_i; the distortion channel equals
+  A*D2 - D1^2, whose w-gradient needs only those totals). So the backward is
+  a single front-to-back replay per tile — no reverse sweep, no atomics:
+  each pair slot belongs to exactly one tile, so per-pair gradients land in
+  disjoint output blocks, and the pair->Gaussian scatter-add happens outside
+  as the VJP of the XLA gather.
+
+Channel layout: see ops/rasterizer/naive.py (13 used, padded to 16 rows).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .projection import (ALPHA_EPS, FILTER_INV_SQUARE, PK_PAD, PK_WU, PK_WV,
+                         PK_N, PK_CN, PK_C2X, PK_C2Y, PK_OPAC, PK_RGB,
+                         PK_NRM, PK_FLOW)
+
+TILE = 16
+PIX = TILE * TILE          # 256 pixels per tile
+CH_PAD = 16                # padded channel rows (13 used)
+MAX_ALPHA = 0.999
+MIN_HIT_Z = 0.05
+
+# channel rows
+CH_RGB = slice(0, 3)
+CH_DEPTH = 3
+CH_ALPHA = 4
+CH_NRM = slice(5, 8)
+CH_DIST = 8
+CH_FLOW = slice(9, 11)
+CH_WM = 11
+CH_WM2 = 12
+
+# pair-gradient rows (match PK_* so callers can slice with the same names)
+GR_PAD = PK_PAD            # 24 rows: grads for the 21 used packed fields
+GR_SCORE_IMP = 21          # extra: sum_pix w   (importance score)
+GR_SCORE_ERR = 22          # extra: sum_pix w * |g_rgb| (error score)
+
+
+def _pixel_rays(tile_id, ntx, cam):
+    """Per-pixel ray coords for a 16x16 tile flattened to 256 lanes.
+
+    cam = (fx, fy, cx, cy) scalars; returns qx, qy, px, py each (1, PIX)."""
+    fx, fy, cx, cy = cam
+    ty = (tile_id // ntx).astype(jnp.float32)
+    tx = (tile_id % ntx).astype(jnp.float32)
+    p = jax.lax.broadcasted_iota(jnp.int32, (1, PIX), 1)
+    px = tx * TILE + (p % TILE).astype(jnp.float32)
+    py = ty * TILE + (p // TILE).astype(jnp.float32)
+    qx = (px - cx) / fx
+    qy = (py - cy) / fy
+    return qx, qy, px, py
+
+
+def _coverage(data, qx, qy, px, py):
+    """alpha/z for a chunk of G pairs x 256 pixels.
+
+    data (PK_PAD, G) feature-major; returns alpha (G, PIX), z (G, PIX) and
+    backward intermediates."""
+    def col(i):
+        return data[i, :][:, None]
+
+    u_num = col(PK_WU.start) * qx + col(PK_WU.start + 1) * qy + col(PK_WU.start + 2)
+    v_num = col(PK_WV.start) * qx + col(PK_WV.start + 1) * qy + col(PK_WV.start + 2)
+    den = col(PK_N.start) * qx + col(PK_N.start + 1) * qy + col(PK_N.start + 2)
+    den = jnp.where(jnp.abs(den) < 1e-12, 1e-12, den)
+    rcp = 1.0 / den
+    u = u_num * rcp
+    v = v_num * rcp
+    z = col(PK_CN) * rcp
+    rho3d = u * u + v * v
+    dx = px - col(PK_C2X)
+    dy = py - col(PK_C2Y)
+    rho2d = FILTER_INV_SQUARE * (dx * dx + dy * dy)
+    sel3 = rho3d < rho2d
+    rho = jnp.where(sel3, rho3d, rho2d)
+    expval = jnp.exp(-0.5 * rho)
+    a_raw = col(PK_OPAC) * expval
+    keep = (a_raw >= ALPHA_EPS) & (z > MIN_HIT_Z)
+    alpha = jnp.where(keep, jnp.minimum(a_raw, MAX_ALPHA), 0.0)
+    live = keep & (a_raw < MAX_ALPHA)
+    return alpha, z, (u, v, rcp, expval, sel3, live, dx, dy)
+
+
+def _feature_rows(data):
+    """(CH_PAD, G) per-pair-constant feature matrix for the MXU blend."""
+    G = data.shape[1]
+    F = jnp.zeros((CH_PAD, G), jnp.float32)
+    F = F.at[CH_RGB, :].set(data[PK_RGB, :])
+    F = F.at[CH_ALPHA, :].set(1.0)
+    F = F.at[CH_NRM, :].set(data[PK_NRM, :])
+    F = F.at[CH_FLOW, :].set(data[PK_FLOW, :])
+    return F
+
+
+def _excl_scan_mul(x):
+    """Exclusive cumprod along axis 0 and the total product (1, PIX)."""
+    incl = jax.lax.associative_scan(jnp.multiply, x, axis=0)
+    excl = jnp.concatenate([jnp.ones_like(x[:1]), incl[:-1]], axis=0)
+    return excl, incl[-1:]
+
+
+def _incl_scan_add(x):
+    return jax.lax.associative_scan(jnp.add, x, axis=0)
+
+
+def _md(z):
+    return z / (1.0 + z)
+
+
+# ---------------------------------------------------------------------------
+# forward kernel
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(chunk_tile, chunk_first, meta, pair_ref, out_ref, carry):
+    i = pl.program_id(0)
+    tile_id = chunk_tile[i]
+    first = chunk_first[i] == 1
+    ntx = meta[4].astype(jnp.int32)
+    cam = (meta[0], meta[1], meta[2], meta[3])
+
+    @pl.when(first)
+    def _():
+        carry[0, :] = jnp.ones((PIX,), jnp.float32)   # transmittance
+        carry[1, :] = jnp.zeros((PIX,), jnp.float32)  # A total so far
+        carry[2, :] = jnp.zeros((PIX,), jnp.float32)  # D1 total so far
+        carry[3, :] = jnp.zeros((PIX,), jnp.float32)  # D2 total so far
+
+    qx, qy, px, py = _pixel_rays(tile_id, ntx, cam)
+    data = pair_ref[:, :]
+    alpha, z, _ = _coverage(data, qx, qy, px, py)
+
+    T_excl, T_prod = _excl_scan_mul(1.0 - alpha)
+    w = alpha * T_excl * carry[0, :][None, :]
+
+    md = _md(z)
+    wmd = w * md
+    wmd2 = wmd * md
+    A_excl = _incl_scan_add(w) - w
+    D1_excl = _incl_scan_add(wmd) - wmd
+    D2_excl = _incl_scan_add(wmd2) - wmd2
+    dist = jnp.sum(
+        w * (md * md * (A_excl + carry[1, :][None, :])
+             + (D2_excl + carry[3, :][None, :])
+             - 2.0 * md * (D1_excl + carry[2, :][None, :])), axis=0)
+
+    F = _feature_rows(data)
+    acc = jax.lax.dot_general(F, w, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)  # (CH, PIX)
+    w_sum = acc[CH_ALPHA, :]
+    wmd_sum = jnp.sum(wmd, axis=0)
+    wmd2_sum = jnp.sum(wmd2, axis=0)
+    acc = acc.at[CH_DEPTH, :].set(jnp.sum(w * z, axis=0))
+    acc = acc.at[CH_DIST, :].set(dist)
+    acc = acc.at[CH_WM, :].set(wmd_sum)
+    acc = acc.at[CH_WM2, :].set(wmd2_sum)
+
+    carry[1, :] = carry[1, :] + w_sum
+    carry[2, :] = carry[2, :] + wmd_sum
+    carry[3, :] = carry[3, :] + wmd2_sum
+    carry[0, :] = carry[0, :] * T_prod[0]
+
+    @pl.when(first)
+    def _():
+        out_ref[0, :, :] = acc
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        out_ref[0, :, :] = out_ref[0, :, :] + acc
+
+
+def rasterize_forward(pair_data, chunk_tile, chunk_first, meta, num_tiles,
+                      interpret=False):
+    """pair_data (PK_PAD, P_CAP) tile-grouped; -> (num_tiles, CH_PAD, PIX)."""
+    p_cap = pair_data.shape[1]
+    c_cap = chunk_tile.shape[0]
+    chunk = p_cap // c_cap
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(c_cap,),
+        in_specs=[
+            pl.BlockSpec((PK_PAD, chunk), lambda i, ct, cf, m: (0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, CH_PAD, PIX),
+                               lambda i, ct, cf, m: (ct[i], 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((8, PIX), jnp.float32)],
+    )
+    return pl.pallas_call(
+        _fwd_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((num_tiles, CH_PAD, PIX), jnp.float32),
+        interpret=interpret,
+    )(chunk_tile, chunk_first, meta, pair_data)
+
+
+# ---------------------------------------------------------------------------
+# backward kernel
+# ---------------------------------------------------------------------------
+
+def _bwd_kernel(chunk_tile, chunk_first, meta, pair_ref, out_saved_ref,
+                g_ref, grad_ref, carry):
+    i = pl.program_id(0)
+    tile_id = chunk_tile[i]
+    first = chunk_first[i] == 1
+    ntx = meta[4].astype(jnp.int32)
+    cam = (meta[0], meta[1], meta[2], meta[3])
+
+    g = g_ref[0, :, :]             # (CH_PAD, PIX) cotangent for this tile
+    out = out_saved_ref[0, :, :]   # (CH_PAD, PIX) saved forward output
+
+    A_tot = out[CH_ALPHA, :][None, :]
+    D1_tot = out[CH_WM, :][None, :]
+    D2_tot = out[CH_WM2, :][None, :]
+    g_dist = g[CH_DIST, :][None, :]
+    g_depth = g[CH_DEPTH, :][None, :]
+    g_wm = g[CH_WM, :][None, :]
+    g_wm2 = g[CH_WM2, :][None, :]
+
+    # S_tot = sum_k gw_k w_k from saved outputs: linear channels give
+    # g_c * out_c; the quadratic dist channel doubles its own value.
+    S_tot = (jnp.sum(g * out, axis=0) + g[CH_DIST, :] * out[CH_DIST, :])[None, :]
+
+    @pl.when(first)
+    def _():
+        carry[0, :] = jnp.ones((PIX,), jnp.float32)   # transmittance
+        carry[1, :] = jnp.zeros((PIX,), jnp.float32)  # prefix of gw*w
+
+    qx, qy, px, py = _pixel_rays(tile_id, ntx, cam)
+    data = pair_ref[:, :]
+    alpha, z, (u, v, rcp, expval, sel3, live, ddx, ddy) = _coverage(
+        data, qx, qy, px, py)
+
+    T_excl, T_prod = _excl_scan_mul(1.0 - alpha)
+    T_run = T_excl * carry[0, :][None, :]
+    w = alpha * T_run
+
+    md = _md(z)
+    F = _feature_rows(data)
+    gw = jax.lax.dot_general(F, g, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)  # (G, PIX)
+    dist_term = md * md * A_tot + D2_tot - 2.0 * md * D1_tot
+    gw = gw + g_depth * z + g_dist * dist_term + g_wm * md + g_wm2 * md * md
+
+    gww = gw * w
+    prefix = _incl_scan_add(gww) + carry[1, :][None, :]
+    S_after = S_tot - prefix
+    one_minus = jnp.maximum(1.0 - alpha, 1.0 - MAX_ALPHA)
+    da = T_run * gw - S_after / one_minus
+
+    dmd_dz = (1.0 - md) * (1.0 - md)   # d/dz [z/(1+z)]
+    gmd = (g_dist * 2.0 * w * (md * A_tot - D1_tot)
+           + g_wm * w + g_wm2 * 2.0 * md * w)
+    gz = g_depth * w + gmd * dmd_dz
+
+    da_live = jnp.where(live, da, 0.0)
+    opac = data[PK_OPAC, :][:, None]
+    drho = -0.5 * opac * expval * da_live
+    gu = jnp.where(sel3, drho * 2.0 * u, 0.0)
+    gv = jnp.where(sel3, drho * 2.0 * v, 0.0)
+    gc2x = jnp.where(sel3, 0.0, drho * (-2.0 * FILTER_INV_SQUARE) * ddx)
+    gc2y = jnp.where(sel3, 0.0, drho * (-2.0 * FILTER_INV_SQUARE) * ddy)
+    gopac_pix = expval * da_live
+
+    gz_live = jnp.where(live, gz, 0.0)
+    gun = gu * rcp
+    gvn = gv * rcp
+    gden = -(gu * u + gv * v + gz_live * z) * rcp
+    gcn = gz_live * rcp
+
+    G = data.shape[1]
+    grads = jnp.zeros((GR_PAD, G), jnp.float32)
+
+    def set3(grads, sl, gnum):
+        grads = grads.at[sl.start, :].set(jnp.sum(gnum * qx, axis=1))
+        grads = grads.at[sl.start + 1, :].set(jnp.sum(gnum * qy, axis=1))
+        grads = grads.at[sl.start + 2, :].set(jnp.sum(gnum, axis=1))
+        return grads
+
+    grads = set3(grads, PK_WU, gun)
+    grads = set3(grads, PK_WV, gvn)
+    grads = set3(grads, PK_N, gden)
+    grads = grads.at[PK_CN, :].set(jnp.sum(gcn, axis=1))
+    grads = grads.at[PK_C2X, :].set(jnp.sum(gc2x, axis=1))
+    grads = grads.at[PK_C2Y, :].set(jnp.sum(gc2y, axis=1))
+    grads = grads.at[PK_OPAC, :].set(jnp.sum(gopac_pix, axis=1))
+
+    # feature grads: (CH_PAD, PIX) @ (G, PIX)^T -> (CH_PAD, G)
+    wg = jax.lax.dot_general(g, w, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    grads = grads.at[PK_RGB, :].set(wg[CH_RGB, :])
+    grads = grads.at[PK_NRM, :].set(wg[CH_NRM, :])
+    grads = grads.at[PK_FLOW, :].set(wg[CH_FLOW, :])
+
+    # score accumulators (reference `scores.grad` semantics, SURVEY §2.9)
+    g_rgb_mag = jnp.sum(jnp.abs(g[0:3, :]), axis=0)[None, :]
+    grads = grads.at[GR_SCORE_IMP, :].set(jnp.sum(w, axis=1))
+    grads = grads.at[GR_SCORE_ERR, :].set(jnp.sum(w * g_rgb_mag, axis=1))
+
+    grad_ref[:, :] = grads
+
+    carry[0, :] = carry[0, :] * T_prod[0]
+    carry[1, :] = prefix[-1, :]
+
+
+def rasterize_backward(pair_data, chunk_tile, chunk_first, meta, out_saved,
+                       g_out, interpret=False):
+    p_cap = pair_data.shape[1]
+    c_cap = chunk_tile.shape[0]
+    chunk = p_cap // c_cap
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(c_cap,),
+        in_specs=[
+            pl.BlockSpec((PK_PAD, chunk), lambda i, ct, cf, m: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, CH_PAD, PIX), lambda i, ct, cf, m: (ct[i], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, CH_PAD, PIX), lambda i, ct, cf, m: (ct[i], 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((GR_PAD, chunk), lambda i, ct, cf, m: (0, i),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((8, PIX), jnp.float32)],
+    )
+    return pl.pallas_call(
+        _bwd_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((GR_PAD, p_cap), jnp.float32),
+        interpret=interpret,
+    )(chunk_tile, chunk_first, meta, pair_data, out_saved, g_out)
+
+
+# ---------------------------------------------------------------------------
+# custom-VJP wrapper
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def rasterize_pairs(pair_data, score_carrier, chunk_tile, chunk_first, meta,
+                    num_tiles, interpret=False):
+    """Differentiable tile rasterization over packed pair data.
+
+    pair_data (PK_PAD, P_CAP); `score_carrier` (2, P_CAP) is an all-zeros
+    array whose *cotangent* is filled with per-pair (importance, error)
+    scores — mirroring the reference's `_zeros.grad` trick
+    (gaussian_base.py:71,392). Returns (num_tiles, CH_PAD, PIX).
+    """
+    del score_carrier
+    return rasterize_forward(pair_data, chunk_tile, chunk_first, meta,
+                             num_tiles, interpret=interpret)
+
+
+def _rasterize_fwd(pair_data, score_carrier, chunk_tile, chunk_first, meta,
+                   num_tiles, interpret):
+    out = rasterize_forward(pair_data, chunk_tile, chunk_first, meta,
+                            num_tiles, interpret=interpret)
+    return out, (pair_data, out, chunk_tile, chunk_first, meta)
+
+
+def _rasterize_bwd(num_tiles, interpret, res, g_out):
+    pair_data, out_saved, chunk_tile, chunk_first, meta = res
+    grads = rasterize_backward(pair_data, chunk_tile, chunk_first, meta,
+                               out_saved, g_out, interpret=interpret)
+    d_pair = grads[:PK_PAD, :].at[PK_PAD - 3:, :].set(0.0)
+    d_scores = grads[GR_SCORE_IMP:GR_SCORE_ERR + 1, :]
+    return d_pair, d_scores, None, None, None
+
+
+rasterize_pairs.defvjp(_rasterize_fwd, _rasterize_bwd)
