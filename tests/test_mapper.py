@@ -1,0 +1,71 @@
+"""End-to-end mapper test on a synthetic scene (the run_mapping.py-style
+record/replay harness the reference uses for QA, SURVEY §4)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from vings_mono_tpu.mapper.mapper import GaussianMapper
+from vings_mono_tpu.mapper.losses import psnr
+from vings_mono_tpu.utils.config import load_config
+
+from synthetic import make_viz_out, camera_at
+
+
+def small_cfg():
+    return load_config(overrides={
+        "mapper": {"capacity": 4096, "pair_capacity": 4096, "chunk": 64,
+                   "side": 5, "kf_capacity": 4, "points_per_frame": 512,
+                   "points_first_frame": 512, "impl": "naive"},
+        "training_args": {"iters": 30, "num_keyframe": 2},
+    })
+
+
+@pytest.fixture(scope="module")
+def trained():
+    rng = np.random.default_rng(3)
+    viz_out, gt_params = make_viz_out(rng, n_kf=3)
+    mapper = GaussianMapper(small_cfg())
+    mapper.run(viz_out)               # init on all 3 kfs + first train
+    # stream one more keyframe (same window, new timestamp)
+    viz2 = dict(viz_out)
+    viz2["viz_out_idx_to_f_idx"] = np.arange(1, 4, dtype=np.float64)
+    mapper.run(viz2)
+    return mapper, viz_out
+
+
+def test_mapper_initializes_and_trains(trained):
+    mapper, viz_out = trained
+    assert mapper.initialized
+    assert mapper.n_alive > 200
+    assert np.isfinite(mapper.last_metrics["total"])
+
+
+def test_mapper_psnr_reasonable(trained):
+    mapper, viz_out = trained
+    w2c = np.linalg.inv(viz_out["poses"][0])
+    rets = mapper.render_at(w2c, viz_out["intrinsic"])
+    gt = jnp.moveaxis(jnp.asarray(viz_out["images"][0]), -1, 0)
+    mask = jnp.asarray(viz_out["depths"][0][..., 0] > 0)
+    val = float(psnr(rets["rgb"], gt, mask))
+    assert val > 14.0, f"PSNR too low: {val}"
+
+
+def test_mapper_ply_roundtrip(tmp_path, trained):
+    mapper, _ = trained
+    from vings_mono_tpu.utils.ply import load_ply
+    p = tmp_path / "map.ply"
+    mapper.save_ply(str(p))
+    d = load_ply(str(p))
+    assert d["xyz"].shape[0] == mapper.n_alive
+    assert np.all(np.isfinite(d["xyz"]))
+
+
+def test_mapper_ckpt_roundtrip(tmp_path, trained):
+    mapper, viz_out = trained
+    p = tmp_path / "ckpt.npz"
+    mapper.save_ckpt(str(p))
+    m2 = GaussianMapper(small_cfg())
+    m2.load_ckpt(str(p))
+    assert m2.n_alive == mapper.n_alive
+    assert m2.time_idx == mapper.time_idx

@@ -1,0 +1,199 @@
+"""Host-side mapper orchestration — the TPU `GaussianModel`.
+
+Mirrors run_only_mapping (/root/reference/scripts/gaussian/
+gaussian_base.py:446-475): consume the tracker's `viz_out` dict, detect new
+keyframes by timestamp, prune+densify, then run the jitted training loop.
+All heavy work happens in 3 compiled programs (add_frame, bin_stack,
+train_loop); this class only does bookkeeping and fixed-capacity padding.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..utils import ply as ply_io
+from .cameras import camera_from_intrinsic
+from .densify import add_frame
+from .state import empty_state, adam_init
+from .train import (KeyframeBatch, bin_stack, train_loop,
+                    stablemask_control, storage_control, make_camera)
+from ..ops.rasterizer import render
+
+
+def _intr4(intr: dict):
+    """Reference intrinsic dict -> [fx, fy, cx, cy] (fu/cu are row-major)."""
+    return jnp.asarray([intr["fv"], intr["fu"], intr["cv"], intr["cu"]],
+                       jnp.float32)
+
+
+class GaussianMapper:
+    def __init__(self, cfg):
+        self.cfg = cfg
+        m = cfg["mapper"]
+        self.capacity = int(m["capacity"])
+        self.kf_capacity = int(m["kf_capacity"])
+        self.bin_kwargs = {"p_cap": int(m["pair_capacity"]),
+                           "chunk": int(m["chunk"]),
+                           "side": int(m["side"])}
+        # impl/interpret knobs let tests run the mapper on CPU (naive or
+        # interpret-mode kernels); TPU uses the compiled tile path
+        self.render_kwargs = tuple(self.bin_kwargs.items()) + \
+            (("impl", m.get("impl", "tile")),
+             ("interpret", bool(m.get("interpret", False))))
+        self.state = empty_state(self.capacity)
+        self.opt = adam_init(self.state)
+        self.history = []          # timestamps already mapped
+        self.time_idx = 0
+        self.initialized = False
+        self.key = jax.random.PRNGKey(cfg.get("seed", 0))
+        self.last_metrics = {}
+        self.H = self.W = None
+
+    # ---- packing -----------------------------------------------------
+    def _pack_batch(self, viz_out) -> KeyframeBatch:
+        imgs = jnp.moveaxis(jnp.asarray(viz_out["images"], jnp.float32),
+                            -1, 1)                    # (K,3,H,W)
+        depths = jnp.moveaxis(jnp.asarray(viz_out["depths"], jnp.float32),
+                              -1, 1)
+        covs = jnp.moveaxis(jnp.asarray(viz_out["depths_cov"], jnp.float32),
+                            -1, 1)
+        c2ws = jnp.asarray(viz_out["poses"], jnp.float32)
+        w2cs = jnp.linalg.inv(c2ws)
+        gids = jnp.asarray(viz_out["global_kf_id"], jnp.int32)
+        K = imgs.shape[0]
+        kc = self.kf_capacity
+        if K > kc:
+            imgs, depths, covs, w2cs, gids = (x[-kc:] for x in
+                                              (imgs, depths, covs, w2cs,
+                                               gids))
+            K = kc
+
+        def pad(x):
+            if x.shape[0] == kc:
+                return x
+            reps = [kc - x.shape[0]] + [1] * (x.ndim - 1)
+            return jnp.concatenate([x, jnp.tile(x[-1:], reps)], axis=0)
+
+        return KeyframeBatch(images=pad(imgs), depths=pad(depths),
+                             depths_cov=pad(covs), w2cs=pad(w2cs),
+                             global_kf_id=pad(gids),
+                             n_valid=jnp.asarray(K, jnp.int32))
+
+    def _next_key(self):
+        self.key, k = jax.random.split(self.key)
+        return k
+
+    # ---- new-keyframe detection (judge_new_frame, host logic) ---------
+    def _judge_new_frame(self, viz_out):
+        ts = np.asarray(viz_out["viz_out_idx_to_f_idx"]).tolist()
+        for i, t in enumerate(ts):
+            if t not in self.history:
+                self.history.append(t)
+                return i
+        return None
+
+    # ---- main entry (mirrors gaussian_base.run) ------------------------
+    def run(self, viz_out):
+        if viz_out is None:
+            return
+        intr = viz_out["intrinsic"]
+        self.H, self.W = int(intr["H"]), int(intr["W"])
+        intr4 = _intr4(intr)
+        batch = self._pack_batch(viz_out)
+        ta = self.cfg["training_args"]
+        mcfg = self.cfg["mapper"]
+
+        if not self.initialized:
+            ts = np.asarray(viz_out["viz_out_idx_to_f_idx"]).tolist()
+            self.history = list(ts)
+            K = int(batch.n_valid)
+            for i in range(K):
+                self.state, self.opt, n_new, _ = add_frame(
+                    self.state, self.opt, batch.w2cs[i], intr4,
+                    batch.images[i], batch.depths[i], self._next_key(),
+                    batch.global_kf_id[i], height=self.H, width=self.W,
+                    n_points=int(mcfg["points_first_frame"]), first=True,
+                    render_kwargs=self.render_kwargs)
+            self.initialized = True
+        else:
+            new_id = self._judge_new_frame(viz_out)
+            if new_id is None:
+                return
+            # if window was cropped to kf_capacity, re-locate index
+            new_id = min(new_id, int(batch.n_valid) - 1)
+            self.state, self.opt, n_new, n_kill = add_frame(
+                self.state, self.opt, batch.w2cs[new_id], intr4,
+                batch.images[new_id], batch.depths[new_id],
+                self._next_key(), batch.global_kf_id[new_id],
+                height=self.H, width=self.W,
+                n_points=int(mcfg["points_per_frame"]), first=False,
+                accum_thresh=float(self.cfg["adc_args"]["accum_thresh"]),
+                render_kwargs=self.render_kwargs)
+
+        binned = bin_stack(self.state, batch, intr4, self.H, self.W,
+                           **self.bin_kwargs)
+        lrs = self._lrs(ta)
+        self.state, self.opt, metrics = train_loop(
+            self.state, self.opt, batch, binned, intr4, self._next_key(),
+            iters=int(ta["iters"]), height=self.H, width=self.W,
+            weights=ta["loss_weights"], lrs=lrs,
+            render_kwargs=self.render_kwargs)
+        self.last_metrics = {k: float(v) for k, v in metrics.items()}
+
+        self.time_idx += 1
+        if self.time_idx % int(ta["num_keyframe"]) == 0:
+            self.state = stablemask_control(self.state)
+        if self.time_idx % 4 == 0:
+            self.state, _ = storage_control(
+                self.state, batch, binned, intr4, height=self.H,
+                width=self.W, render_kwargs=self.render_kwargs)
+
+    @staticmethod
+    def _lrs(ta):
+        lr = ta["lr"]
+        return {"xyz": lr["_xyz_lr"], "rgb": lr["_rgb_lr"],
+                "log_scale": lr["_scaling_lr"], "quat": lr["_rotation_lr"],
+                "logit_opacity": lr["_opacity_lr"]}
+
+    # ---- rendering for vis / eval --------------------------------------
+    def render_at(self, w2c, intr: dict):
+        cam = camera_from_intrinsic(jnp.asarray(w2c, jnp.float32), intr)
+        s = self.state
+        return render(s.xyz, s.log_scale, s.quat, s.logit_opacity, s.rgb,
+                      cam, alive=s.alive, **dict(self.render_kwargs))
+
+    @property
+    def n_alive(self):
+        return int(self.state.n_alive())
+
+    # ---- checkpointing --------------------------------------------------
+    def save_ply(self, path, mode="2dgs"):
+        s = jax.device_get(self.state)
+        m = np.asarray(s.alive)
+        ply_io.save_ply(path, np.asarray(s.xyz)[m], np.asarray(s.rgb)[m],
+                        np.asarray(s.log_scale)[m], np.asarray(s.quat)[m],
+                        np.asarray(s.logit_opacity)[m], mode=mode)
+
+    def save_ckpt(self, path):
+        s = jax.device_get(self.state)
+        np.savez_compressed(
+            path, history=np.asarray(self.history),
+            time_idx=self.time_idx,
+            **{f: np.asarray(getattr(s, f)) for f in
+               ("xyz", "rgb", "log_scale", "quat", "logit_opacity", "alive",
+                "stable", "local_scores", "global_scores", "globalkf_id",
+                "globalkf_max_scores")})
+
+    def load_ckpt(self, path):
+        z = np.load(path)
+        self.state = self.state.replace(
+            **{f: jnp.asarray(z[f]) for f in
+               ("xyz", "rgb", "log_scale", "quat", "logit_opacity", "alive",
+                "stable", "local_scores", "global_scores", "globalkf_id",
+                "globalkf_max_scores")})
+        self.opt = adam_init(self.state)
+        self.history = z["history"].tolist()
+        self.time_idx = int(z["time_idx"])
+        self.initialized = True

@@ -1,0 +1,140 @@
+"""Capacity-capped Gaussian map state + masked sparse-Adam.
+
+TPU redesign of the reference's parameter store + `SparseGaussianAdam`
+(/root/reference/scripts/gaussian/gaussian_base.py:33-62 and SURVEY §2.9):
+instead of reallocating torch Parameters on every densify/prune (cat/prune
+on the optimizer, gaussian_base.py:74-110), all arrays have a fixed capacity
+with an `alive` mask — insert/delete are pure scatter ops that jit, and the
+optimizer "sparse step" is a per-row mask (only Gaussians visible in the
+current render step their moments, matching `optimizer.step(radii>0, N)`).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+PARAM_FIELDS = ("xyz", "rgb", "log_scale", "quat", "logit_opacity")
+
+
+@flax.struct.dataclass
+class GaussianState:
+    # optimizable parameters (raw / pre-activation)
+    xyz: jnp.ndarray            # (CAP, 3)
+    rgb: jnp.ndarray            # (CAP, 3)
+    log_scale: jnp.ndarray      # (CAP, 2) — 2D surfel scales
+    quat: jnp.ndarray           # (CAP, 4) wxyz, unnormalized
+    logit_opacity: jnp.ndarray  # (CAP, 1)
+    # lifecycle state (reference gaussian_base.py:38-42)
+    alive: jnp.ndarray          # (CAP,) bool
+    stable: jnp.ndarray         # (CAP,) bool
+    local_scores: jnp.ndarray   # (CAP, 2) importance / error this round
+    global_scores: jnp.ndarray  # (CAP, 2)
+    globalkf_id: jnp.ndarray    # (CAP,) int32 owning keyframe
+    globalkf_max_scores: jnp.ndarray  # (CAP,)
+
+    @property
+    def capacity(self):
+        return self.xyz.shape[0]
+
+    def params(self) -> Dict[str, jnp.ndarray]:
+        return {f: getattr(self, f) for f in PARAM_FIELDS}
+
+    def n_alive(self):
+        return jnp.sum(self.alive.astype(jnp.int32))
+
+
+def empty_state(cap: int) -> GaussianState:
+    return GaussianState(
+        xyz=jnp.zeros((cap, 3), jnp.float32),
+        rgb=jnp.zeros((cap, 3), jnp.float32),
+        log_scale=jnp.full((cap, 2), -10.0, jnp.float32),
+        quat=jnp.tile(jnp.asarray([1.0, 0, 0, 0], jnp.float32), (cap, 1)),
+        logit_opacity=jnp.full((cap, 1), -10.0, jnp.float32),
+        alive=jnp.zeros((cap,), bool),
+        stable=jnp.zeros((cap,), bool),
+        local_scores=jnp.zeros((cap, 2), jnp.float32),
+        global_scores=jnp.zeros((cap, 2), jnp.float32),
+        globalkf_id=jnp.zeros((cap,), jnp.int32),
+        globalkf_max_scores=jnp.zeros((cap,), jnp.float32),
+    )
+
+
+@flax.struct.dataclass
+class SparseAdamState:
+    m: Dict[str, jnp.ndarray]
+    v: Dict[str, jnp.ndarray]
+    step: jnp.ndarray  # () int32
+
+
+def adam_init(state: GaussianState) -> SparseAdamState:
+    zeros = {k: jnp.zeros_like(p) for k, p in state.params().items()}
+    return SparseAdamState(m=zeros,
+                           v={k: jnp.zeros_like(p) for k, p in
+                              state.params().items()},
+                           step=jnp.zeros((), jnp.int32))
+
+# default per-param lrs mirror configs' training_args.lr (e.g.
+# /root/reference/configs/rtg/hotel.yaml)
+DEFAULT_LRS = {"xyz": 1e-4, "rgb": 2.5e-3, "log_scale": 5e-3,
+               "quat": 1e-3, "logit_opacity": 5e-2}
+
+
+def sparse_adam_step(state: GaussianState, grads: Dict[str, jnp.ndarray],
+                     opt: SparseAdamState, step_mask, lrs=None,
+                     b1=0.9, b2=0.999, eps=1e-15):
+    """Masked Adam: rows outside step_mask keep params AND moments frozen
+    (SparseGaussianAdam semantics). eps matches the reference (1e-15,
+    gaussian_base.py:62)."""
+    lrs = {**DEFAULT_LRS, **(lrs or {})}
+    step = opt.step + 1
+    t = step.astype(jnp.float32)
+    c1 = 1.0 - b1 ** t
+    c2 = 1.0 - b2 ** t
+    new_params, new_m, new_v = {}, {}, {}
+    mask_col = step_mask[:, None].astype(jnp.float32)
+    for k, p in state.params().items():
+        g = grads[k]
+        m = jnp.where(step_mask[:, None], b1 * opt.m[k] + (1 - b1) * g,
+                      opt.m[k])
+        v = jnp.where(step_mask[:, None], b2 * opt.v[k] + (1 - b2) * g * g,
+                      opt.v[k])
+        upd = (m / c1) / (jnp.sqrt(v / c2) + eps)
+        new_params[k] = p - lrs[k] * upd * mask_col
+        new_m[k] = m
+        new_v[k] = v
+    state = state.replace(**new_params)
+    return state, SparseAdamState(m=new_m, v=new_v, step=step)
+
+
+def write_rows(state: GaussianState, opt: SparseAdamState, slots,
+               valid_new, new_params: Dict[str, jnp.ndarray],
+               globalkf_id) -> tuple:
+    """Insert new Gaussians at `slots` (where valid_new); resets lifecycle
+    state and Adam moments for those rows. Invalid rows scatter to CAP
+    (dropped)."""
+    cap = state.capacity
+    idx = jnp.where(valid_new, slots, cap)
+    upd = {}
+    for k in PARAM_FIELDS:
+        upd[k] = getattr(state, k).at[idx].set(new_params[k], mode="drop")
+    upd["alive"] = state.alive.at[idx].set(True, mode="drop")
+    upd["stable"] = state.stable.at[idx].set(False, mode="drop")
+    upd["local_scores"] = state.local_scores.at[idx].set(0.0, mode="drop")
+    upd["global_scores"] = state.global_scores.at[idx].set(0.0, mode="drop")
+    upd["globalkf_id"] = state.globalkf_id.at[idx].set(
+        jnp.asarray(globalkf_id, jnp.int32), mode="drop")
+    upd["globalkf_max_scores"] = state.globalkf_max_scores.at[idx].set(
+        0.0, mode="drop")
+    state = state.replace(**upd)
+    m = {k: opt.m[k].at[idx].set(0.0, mode="drop") for k in PARAM_FIELDS}
+    v = {k: opt.v[k].at[idx].set(0.0, mode="drop") for k in PARAM_FIELDS}
+    return state, SparseAdamState(m=m, v=v, step=opt.step)
+
+
+def kill_rows(state: GaussianState, kill_mask) -> GaussianState:
+    """Prune = flip alive off. Slots get recycled by the next densify."""
+    return state.replace(alive=state.alive & ~kill_mask)

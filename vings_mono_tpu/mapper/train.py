@@ -1,0 +1,164 @@
+"""Jitted mapper training loops.
+
+Rebuild of train_once_gaussian (/root/reference/scripts/gaussian/
+gaussian_base.py:343-434) as ONE compiled function running all 50-100
+iterations on-device with lax.fori_loop — no host round trips per iteration
+(the reference pays a python->CUDA dispatch per iter; on TPU the whole
+keyframe optimization is a single XLA program).
+
+Each iteration: pick a random keyframe from the window, render it through a
+*cached binning* (see ops/rasterizer/binning.py), compute the mapper loss,
+pull per-Gaussian (importance, error) scores out of the score-carrier
+gradient, apply the anti-forgetting gradient weighting
+(gaussian_utils.py:56-62), and take a masked sparse-Adam step on Gaussians
+that are visible, alive and not stable.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.rasterizer import Camera, render, bin_for_camera
+from .losses import mapper_loss, psnr
+from .state import (GaussianState, SparseAdamState, sparse_adam_step,
+                    kill_rows)
+
+
+class KeyframeBatch(NamedTuple):
+    """Fixed-capacity stack of the tracker's viz_out window (K_CAP slots)."""
+    images: jnp.ndarray      # (K, 3, H, W) float32 [0,1]
+    depths: jnp.ndarray      # (K, 1, H, W)
+    depths_cov: jnp.ndarray  # (K, 1, H, W)
+    w2cs: jnp.ndarray        # (K, 4, 4)
+    global_kf_id: jnp.ndarray  # (K,) int32
+    n_valid: jnp.ndarray     # () int32 — real keyframes in the stack
+
+
+from .cameras import make_camera
+
+
+def _select_kf(tree, kf):
+    return jax.tree.map(lambda x: x[kf], tree)
+
+
+def bin_stack(state: GaussianState, batch: KeyframeBatch, intr4, height,
+              width, **bin_kwargs):
+    """Bin every keyframe camera in the window (vmapped argsorts)."""
+    def one(w2c):
+        cam = make_camera(w2c, intr4, height, width)
+        return bin_for_camera(state.xyz, state.log_scale, state.quat,
+                              state.logit_opacity, state.rgb, cam,
+                              alive=state.alive, **bin_kwargs)
+    return jax.lax.map(one, batch.w2cs)
+
+
+@functools.partial(jax.jit, static_argnames=("iters", "height", "width",
+                                             "render_kwargs"))
+def train_loop(state: GaussianState, opt: SparseAdamState,
+               batch: KeyframeBatch, binned_stack, intr4, key, *,
+               iters: int, height: int, width: int, weights=None,
+               lrs=None, render_kwargs=()):
+    rkw = dict(render_kwargs)
+
+    def loss_fn(params, carrier, camera, kf):
+        rets = render(params["xyz"], params["log_scale"], params["quat"],
+                      params["logit_opacity"], params["rgb"], camera,
+                      alive=state.alive, score_carrier=carrier,
+                      binned=_select_kf(binned_stack, kf), **rkw)
+        total, metrics = mapper_loss(rets, batch.images[kf],
+                                     batch.depths[kf], batch.depths_cov[kf],
+                                     camera, weights)
+        metrics["psnr"] = psnr(rets["rgb"], batch.images[kf],
+                               batch.depths[kf][0] > 0)
+        return total, (metrics, rets["visible"])
+
+    grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)
+
+    def body(it, carry):
+        st, op, k, _ = carry
+        k, k1 = jax.random.split(k)
+        kf = jax.random.randint(k1, (), 0, jnp.maximum(batch.n_valid, 1))
+        camera = make_camera(batch.w2cs[kf], intr4, height, width)
+        carrier = jnp.zeros((st.capacity, 2), jnp.float32)
+        (_, (metrics, visible)), (gp, cur) = grad_fn(st.params(), carrier,
+                                                     camera, kf)
+        cur0, cur1 = cur[:, 0], cur[:, 1]
+
+        # score bookkeeping (add_records, gaussian_model.py:163-169 +
+        # globalkf attribution, gaussian_base.py:387-392)
+        local = st.local_scores.at[:, 0].add(cur0)
+        local = local.at[:, 1].max(cur1)
+        glob = jnp.clip(st.global_scores.at[:, 0].add(cur0), 0.0, 1e4)
+        replace = st.globalkf_max_scores < cur0
+        gmax = jnp.where(replace, cur0, st.globalkf_max_scores)
+        gid = jnp.where(replace, batch.global_kf_id[kf], st.globalkf_id)
+
+        # anti-forgetting gradient weighting (gaussian_utils.py:56-62)
+        wgt = (cur0 / (glob[:, 0] + 1e-6 + cur0))[:, None]
+        gp = {k2: g * wgt for k2, g in gp.items()}
+
+        step_mask = visible & st.alive & (~st.stable)
+        st = st.replace(local_scores=local, global_scores=glob,
+                        globalkf_max_scores=gmax, globalkf_id=gid)
+        st, op = sparse_adam_step(st, gp, op, step_mask, lrs)
+        return st, op, k, metrics
+
+    zero_metrics = {k: jnp.zeros(()) for k in
+                    ["rgb", "l1", "ssim", "normal", "alpha", "depth",
+                     "dist", "total", "psnr"]}
+    state, opt, _, metrics = jax.lax.fori_loop(
+        0, iters, body, (state, opt, key, zero_metrics))
+    return state, opt, metrics
+
+
+@jax.jit
+def stablemask_control(state: GaussianState):
+    """Unstable->stable when untouched this round; stable->unstable when the
+    error score spikes; reset local scores (gaussian_model.py:187-200)."""
+    to_stable = (~state.stable) & (state.local_scores[:, 0] < 1e-4) \
+        & state.alive
+    to_unstable = state.stable & (state.local_scores[:, 1] > 0.3) & \
+        (state.local_scores[:, 0] > 0.05)
+    stable = jnp.where(to_stable, True, state.stable)
+    stable = jnp.where(to_unstable, False, stable)
+    return state.replace(stable=stable,
+                         local_scores=jnp.zeros_like(state.local_scores))
+
+
+@functools.partial(jax.jit, static_argnames=("height", "width",
+                                             "render_kwargs"))
+def storage_control(state: GaussianState, batch: KeyframeBatch, binned_stack,
+                    intr4, *, height: int, width: int, render_kwargs=()):
+    """Every few keyframes: re-render the window, accumulate plain-L1
+    importance scores, prune mid-importance unstable Gaussians
+    (gaussian_model.py:228-251)."""
+    rkw = dict(render_kwargs)
+
+    def one_kf(kf, acc):
+        camera = make_camera(batch.w2cs[kf], intr4, height, width)
+
+        def loss_fn(carrier):
+            rets = render(state.xyz, state.log_scale, state.quat,
+                          state.logit_opacity, state.rgb, camera,
+                          alive=state.alive, score_carrier=carrier,
+                          binned=_select_kf(binned_stack, kf), **rkw)
+            gt = batch.images[kf]
+            m = (jnp.sum(gt, axis=0) > 0).astype(jnp.float32)
+            return jnp.sum(jnp.abs(rets["rgb"] - gt) * m[None]) / jnp.clip(
+                jnp.sum(m) * 3.0, 1.0)
+
+        carrier = jnp.zeros((state.capacity, 2), jnp.float32)
+        scores = jax.grad(loss_fn)(carrier)
+        valid = kf < batch.n_valid
+        return acc + jnp.where(valid, scores[:, 0], 0.0)
+
+    K = batch.w2cs.shape[0]
+    imp = jax.lax.fori_loop(
+        0, K, lambda i, a: one_kf(i, a),
+        jnp.zeros((state.capacity,), jnp.float32))
+    prune = (imp > 0.05) & (imp < 0.8) & (~state.stable) & state.alive
+    return kill_rows(state, prune), jnp.sum(prune.astype(jnp.int32))

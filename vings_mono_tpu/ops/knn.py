@@ -1,0 +1,50 @@
+"""Brute-force kNN mean-squared-distance for Gaussian scale init.
+
+TPU replacement for the reference's `distCUDA2` — which, despite its name,
+is a *CPU scipy KDTree* (/root/reference/scripts/gaussian/
+gaussian_utils.py:12-16): mean squared distance to the 3 nearest neighbors.
+On TPU a chunked dense distance matrix is faster than any tree for the
+30-50k point sets used per keyframe, and it jits.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, static_argnames=("k", "chunk"))
+def knn_mean_sq_dist(points, valid=None, k=3, chunk=2048):
+    """points (N, 3) -> (N,) mean squared distance to the k nearest others.
+
+    `valid` masks out padding rows (they neither query nor serve as
+    neighbors, and get distance 0)."""
+    N = points.shape[0]
+    if valid is None:
+        valid = jnp.ones((N,), bool)
+    n_chunks = (N + chunk - 1) // chunk
+    Np = n_chunks * chunk
+    big = jnp.float32(1e12)
+    pts = jnp.where(valid[:, None], points.astype(jnp.float32), 1e6)
+    if Np != N:
+        pts = jnp.concatenate([pts, jnp.full((Np - N, 3), 1e6, jnp.float32)])
+    vmask = jnp.concatenate([valid, jnp.zeros((Np - N,), bool)]) \
+        if Np != N else valid
+
+    def body(i, out):
+        q = jax.lax.dynamic_slice(pts, (i * chunk, 0), (chunk, 3))
+        d2 = jnp.sum((q[:, None, :] - pts[None, :, :]) ** 2, axis=-1)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (chunk, Np), 0) + i * chunk
+        cols = jax.lax.broadcasted_iota(jnp.int32, (chunk, Np), 1)
+        d2 = jnp.where((rows == cols) | ~vmask[None, :], big, d2)
+        acc = jnp.zeros((chunk,), jnp.float32)
+        for _ in range(k):  # k smallest via iterative min extraction
+            m = jnp.min(d2, axis=1)
+            acc = acc + jnp.minimum(m, big)
+            d2 = jnp.where(d2 <= m[:, None], big, d2)
+        return jax.lax.dynamic_update_slice(out, acc / k, (i * chunk,))
+
+    out = jax.lax.fori_loop(0, n_chunks, body, jnp.zeros((Np,), jnp.float32))
+    return jnp.where(valid, out[:N], 0.0)

@@ -91,15 +91,10 @@ def render_naive(packed, order, n_valid_mask, camera: Camera, fx, fy, cx, cy,
     w = alpha * T_excl                       # (N, P)
 
     md = contract_depth(z)
-    # distortion: sum_i w_i (m_i^2 A_{i-1} + D2_{i-1} - 2 m_i D1_{i-1})
-    A_excl = jnp.concatenate([jnp.zeros_like(w[:1]),
-                              jnp.cumsum(w, axis=0)[:-1]], axis=0)
-    D1_excl = jnp.concatenate([jnp.zeros_like(w[:1]),
-                               jnp.cumsum(w * md, axis=0)[:-1]], axis=0)
-    D2_excl = jnp.concatenate([jnp.zeros_like(w[:1]),
-                               jnp.cumsum(w * md * md, axis=0)[:-1]], axis=0)
-    dist = jnp.sum(w * (md * md * A_excl + D2_excl - 2.0 * md * D1_excl),
-                   axis=0)
+    # distortion channel: sum_{i<j} w_i w_j (m_i - m_j)^2 — algebraically
+    # equal to A_tot*D2_tot - D1_tot^2, computed from the totals in render.py
+    # (same for the tile kernel), so the channel here is a placeholder.
+    dist = jnp.zeros_like(z[0])
 
     rgb = jnp.einsum("np,nc->cp", w, p[:, PK_RGB])
     depth_sum = jnp.sum(w * z, axis=0)

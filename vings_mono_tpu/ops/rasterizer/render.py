@@ -64,15 +64,20 @@ def rasterize_binned(packed, score_carrier, binned: BinnedScene,
 def _channels_to_rets(ch, proj: ProjectedSurfels):
     alpha = ch[4:5]
     depth = ch[3:4] / jnp.where(alpha == 0.0, 1.0, alpha)
+    wm, wm2 = ch[11:12], ch[12:13]
+    # 2DGS distortion sum_{i<j} w_i w_j (m_i - m_j)^2 == A*D2 - D1^2;
+    # computing it from the emitted totals keeps per-pair prefix scans out of
+    # the tile kernel (gradients flow through alpha/wm/wm2 automatically)
+    dist = alpha * wm2 - wm * wm
     return {
         "rgb": ch[0:3],
         "depth": jnp.nan_to_num(depth, nan=0.0, posinf=0.0, neginf=0.0),
         "accum": alpha,
         "normal": ch[5:8],          # camera frame
-        "dist": ch[8:9],
+        "dist": dist,
         "flow": ch[9:11],
-        "wm": ch[11:12],
-        "wm2": ch[12:13],
+        "wm": wm,
+        "wm2": wm2,
         "radii": jnp.where(proj.visible, proj.radius, 0.0),
         "visible": proj.visible,
     }

@@ -116,25 +116,47 @@ def _coverage(data, qx, qy, px, py):
 
 
 def _feature_rows(data):
-    """(CH_PAD, G) per-pair-constant feature matrix for the MXU blend."""
+    """(CH_PAD, G) per-pair-constant feature matrix for the MXU blend.
+    Built with concatenate — `.at[].set` lowers to scatter, which Mosaic
+    does not support inside kernels."""
     G = data.shape[1]
-    F = jnp.zeros((CH_PAD, G), jnp.float32)
-    F = F.at[CH_RGB, :].set(data[PK_RGB, :])
-    F = F.at[CH_ALPHA, :].set(1.0)
-    F = F.at[CH_NRM, :].set(data[PK_NRM, :])
-    F = F.at[CH_FLOW, :].set(data[PK_FLOW, :])
-    return F
+    zero = jnp.zeros((1, G), jnp.float32)
+    one = jnp.ones((1, G), jnp.float32)
+    return jnp.concatenate([
+        data[PK_RGB, :],          # 0:3  rgb
+        zero,                     # 3    depth (elementwise)
+        one,                      # 4    alpha
+        data[PK_NRM, :],          # 5:8  normal
+        zero,                     # 8    dist (elementwise)
+        data[PK_FLOW, :],         # 9:11 flow
+        zero, zero,               # 11,12 wm/wm2 (elementwise)
+        zero, zero, zero,         # 13:16 pad
+    ], axis=0)
+
+
+def _hillis_steele(op, x, identity):
+    """Inclusive scan along axis 0 via log2(G) shifted ops (Mosaic-friendly:
+    lax.associative_scan's recursion creates zero-size slices it can't
+    lower)."""
+    n = x.shape[0]
+    y = x
+    shift = 1
+    while shift < n:
+        pad = jnp.full((shift,) + x.shape[1:], identity, x.dtype)
+        y = op(y, jnp.concatenate([pad, y[:-shift]], axis=0))
+        shift *= 2
+    return y
 
 
 def _excl_scan_mul(x):
     """Exclusive cumprod along axis 0 and the total product (1, PIX)."""
-    incl = jax.lax.associative_scan(jnp.multiply, x, axis=0)
+    incl = _hillis_steele(jnp.multiply, x, 1.0)
     excl = jnp.concatenate([jnp.ones_like(x[:1]), incl[:-1]], axis=0)
     return excl, incl[-1:]
 
 
 def _incl_scan_add(x):
-    return jax.lax.associative_scan(jnp.add, x, axis=0)
+    return _hillis_steele(jnp.add, x, 0.0)
 
 
 def _md(z):
@@ -155,9 +177,6 @@ def _fwd_kernel(chunk_tile, chunk_first, meta, pair_ref, out_ref, carry):
     @pl.when(first)
     def _():
         carry[0, :] = jnp.ones((PIX,), jnp.float32)   # transmittance
-        carry[1, :] = jnp.zeros((PIX,), jnp.float32)  # A total so far
-        carry[2, :] = jnp.zeros((PIX,), jnp.float32)  # D1 total so far
-        carry[3, :] = jnp.zeros((PIX,), jnp.float32)  # D2 total so far
 
     qx, qy, px, py = _pixel_rays(tile_id, ntx, cam)
     data = pair_ref[:, :]
@@ -166,31 +185,29 @@ def _fwd_kernel(chunk_tile, chunk_first, meta, pair_ref, out_ref, carry):
     T_excl, T_prod = _excl_scan_mul(1.0 - alpha)
     w = alpha * T_excl * carry[0, :][None, :]
 
+    # NOTE: the 2DGS distortion channel is NOT accumulated here — per pixel
+    # it equals A_tot*D2_tot - D1_tot^2 of the wm/wm2/alpha totals we already
+    # emit (identical to the reference's per-splat prefix accumulation, see
+    # naive.py), so render.py computes it outside the kernel for free.
     md = _md(z)
     wmd = w * md
     wmd2 = wmd * md
-    A_excl = _incl_scan_add(w) - w
-    D1_excl = _incl_scan_add(wmd) - wmd
-    D2_excl = _incl_scan_add(wmd2) - wmd2
-    dist = jnp.sum(
-        w * (md * md * (A_excl + carry[1, :][None, :])
-             + (D2_excl + carry[3, :][None, :])
-             - 2.0 * md * (D1_excl + carry[2, :][None, :])), axis=0)
 
     F = _feature_rows(data)
-    acc = jax.lax.dot_general(F, w, (((1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)  # (CH, PIX)
-    w_sum = acc[CH_ALPHA, :]
-    wmd_sum = jnp.sum(wmd, axis=0)
-    wmd2_sum = jnp.sum(wmd2, axis=0)
-    acc = acc.at[CH_DEPTH, :].set(jnp.sum(w * z, axis=0))
-    acc = acc.at[CH_DIST, :].set(dist)
-    acc = acc.at[CH_WM, :].set(wmd_sum)
-    acc = acc.at[CH_WM2, :].set(wmd2_sum)
+    mm = jax.lax.dot_general(F, w, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)  # (CH, PIX)
+    acc = jnp.concatenate([
+        mm[CH_RGB, :],
+        jnp.sum(w * z, axis=0)[None, :],
+        mm[CH_ALPHA:CH_ALPHA + 1, :],
+        mm[CH_NRM, :],
+        jnp.zeros((1, PIX), jnp.float32),   # CH_DIST placeholder
+        mm[CH_FLOW, :],
+        jnp.sum(wmd, axis=0)[None, :],
+        jnp.sum(wmd2, axis=0)[None, :],
+        mm[13:, :],
+    ], axis=0)
 
-    carry[1, :] = carry[1, :] + w_sum
-    carry[2, :] = carry[2, :] + wmd_sum
-    carry[3, :] = carry[3, :] + wmd2_sum
     carry[0, :] = carry[0, :] * T_prod[0]
 
     @pl.when(first)
@@ -244,17 +261,13 @@ def _bwd_kernel(chunk_tile, chunk_first, meta, pair_ref, out_saved_ref,
     g = g_ref[0, :, :]             # (CH_PAD, PIX) cotangent for this tile
     out = out_saved_ref[0, :, :]   # (CH_PAD, PIX) saved forward output
 
-    A_tot = out[CH_ALPHA, :][None, :]
-    D1_tot = out[CH_WM, :][None, :]
-    D2_tot = out[CH_WM2, :][None, :]
-    g_dist = g[CH_DIST, :][None, :]
     g_depth = g[CH_DEPTH, :][None, :]
     g_wm = g[CH_WM, :][None, :]
     g_wm2 = g[CH_WM2, :][None, :]
 
-    # S_tot = sum_k gw_k w_k from saved outputs: linear channels give
-    # g_c * out_c; the quadratic dist channel doubles its own value.
-    S_tot = (jnp.sum(g * out, axis=0) + g[CH_DIST, :] * out[CH_DIST, :])[None, :]
+    # every emitted channel is sum_k w_k f_k (dist lives outside the kernel),
+    # so S_tot = sum_k gw_k w_k = sum_c g_c out_c per pixel
+    S_tot = jnp.sum(g * out, axis=0)[None, :]
 
     @pl.when(first)
     def _():
@@ -274,8 +287,7 @@ def _bwd_kernel(chunk_tile, chunk_first, meta, pair_ref, out_saved_ref,
     F = _feature_rows(data)
     gw = jax.lax.dot_general(F, g, (((0,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)  # (G, PIX)
-    dist_term = md * md * A_tot + D2_tot - 2.0 * md * D1_tot
-    gw = gw + g_depth * z + g_dist * dist_term + g_wm * md + g_wm2 * md * md
+    gw = gw + g_depth * z + g_wm * md + g_wm2 * md * md
 
     gww = gw * w
     prefix = _incl_scan_add(gww) + carry[1, :][None, :]
@@ -284,8 +296,7 @@ def _bwd_kernel(chunk_tile, chunk_first, meta, pair_ref, out_saved_ref,
     da = T_run * gw - S_after / one_minus
 
     dmd_dz = (1.0 - md) * (1.0 - md)   # d/dz [z/(1+z)]
-    gmd = (g_dist * 2.0 * w * (md * A_tot - D1_tot)
-           + g_wm * w + g_wm2 * 2.0 * md * w)
+    gmd = g_wm * w + g_wm2 * 2.0 * md * w
     gz = g_depth * w + gmd * dmd_dz
 
     da_live = jnp.where(live, da, 0.0)
@@ -303,39 +314,37 @@ def _bwd_kernel(chunk_tile, chunk_first, meta, pair_ref, out_saved_ref,
     gden = -(gu * u + gv * v + gz_live * z) * rcp
     gcn = gz_live * rcp
 
-    G = data.shape[1]
-    grads = jnp.zeros((GR_PAD, G), jnp.float32)
-
-    def set3(grads, sl, gnum):
-        grads = grads.at[sl.start, :].set(jnp.sum(gnum * qx, axis=1))
-        grads = grads.at[sl.start + 1, :].set(jnp.sum(gnum * qy, axis=1))
-        grads = grads.at[sl.start + 2, :].set(jnp.sum(gnum, axis=1))
-        return grads
-
-    grads = set3(grads, PK_WU, gun)
-    grads = set3(grads, PK_WV, gvn)
-    grads = set3(grads, PK_N, gden)
-    grads = grads.at[PK_CN, :].set(jnp.sum(gcn, axis=1))
-    grads = grads.at[PK_C2X, :].set(jnp.sum(gc2x, axis=1))
-    grads = grads.at[PK_C2Y, :].set(jnp.sum(gc2y, axis=1))
-    grads = grads.at[PK_OPAC, :].set(jnp.sum(gopac_pix, axis=1))
-
     # feature grads: (CH_PAD, PIX) @ (G, PIX)^T -> (CH_PAD, G)
     wg = jax.lax.dot_general(g, w, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    grads = grads.at[PK_RGB, :].set(wg[CH_RGB, :])
-    grads = grads.at[PK_NRM, :].set(wg[CH_NRM, :])
-    grads = grads.at[PK_FLOW, :].set(wg[CH_FLOW, :])
-
     # score accumulators (reference `scores.grad` semantics, SURVEY §2.9)
     g_rgb_mag = jnp.sum(jnp.abs(g[0:3, :]), axis=0)[None, :]
-    grads = grads.at[GR_SCORE_IMP, :].set(jnp.sum(w, axis=1))
-    grads = grads.at[GR_SCORE_ERR, :].set(jnp.sum(w * g_rgb_mag, axis=1))
+
+    def r(x):
+        return jnp.sum(x, axis=1)[None, :]
+
+    # rows in PK_* order (see module constants); built with concatenate —
+    # `.at[].set` lowers to scatter, unsupported in Mosaic
+    grads = jnp.concatenate([
+        r(gun * qx), r(gun * qy), r(gun),          # PK_WU
+        r(gvn * qx), r(gvn * qy), r(gvn),          # PK_WV
+        r(gden * qx), r(gden * qy), r(gden),       # PK_N
+        r(gcn),                                    # PK_CN
+        r(gc2x), r(gc2y),                          # PK_C2X/Y
+        r(gopac_pix),                              # PK_OPAC
+        wg[CH_RGB, :],                             # PK_RGB
+        wg[CH_NRM, :],                             # PK_NRM
+        wg[CH_FLOW, :],                            # PK_FLOW
+        r(w),                                      # GR_SCORE_IMP
+        r(w * g_rgb_mag),                          # GR_SCORE_ERR
+        jnp.zeros((1, data.shape[1]), jnp.float32),
+    ], axis=0)
 
     grad_ref[:, :] = grads
 
     carry[0, :] = carry[0, :] * T_prod[0]
-    carry[1, :] = prefix[-1, :]
+    # NB: prefix[-1, :] would lower to (unsupported) dynamic_slice in Mosaic
+    carry[1, :] = prefix[prefix.shape[0] - 1, :]
 
 
 def rasterize_backward(pair_data, chunk_tile, chunk_first, meta, out_saved,
