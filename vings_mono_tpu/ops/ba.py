@@ -1,0 +1,211 @@
+"""Dense bundle adjustment in pure XLA — the TPU replacement for DROID's
+CUDA `droid_backends.ba` / `BACore` (call surface: /root/repo/SURVEY.md §2.9;
+numeric spec: /root/reference/scripts/frontend/geom/ba.py:29-104 and
+chol.py:46-73).
+
+Gauss-Newton over keyframe poses + per-pixel inverse depths:
+  * per-edge Jacobians from ops.projective (analytic),
+  * block Hessian assembled with segment-sums over the edge list
+    (replaces torch_scatter),
+  * per-pixel depth blocks marginalized by a Schur complement (C is
+    diagonal over pixels), damped pose system solved with Cholesky,
+  * left-multiplicative SE3 retraction + disparity update.
+
+Everything is fixed-shape over a static max edge count — dead edge slots
+carry ii=jj=0 with zero weight and contribute nothing, which is how the
+sliding-window graph stays jit-compatible (SURVEY §7 "dynamic structure
+under jit").
+
+The same routine exposes the two half-steps the VIO fusion needs
+(`BACore.hessian` / `.retract` in the reference, depth_video.py:554-650):
+`ba_hessian` returns the depth-marginalized pose Hessian/rhs (camera frame),
+and `ba_retract` applies an externally solved pose delta and solves depths.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from . import lie
+from . import projective as pops
+
+
+def _seg_mat(vals, idx, n_seg):
+    """vals (N, D, D') summed into (n_seg, D, D') by idx (N,)."""
+    return jax.ops.segment_sum(vals, idx, num_segments=n_seg)
+
+
+class BASystem(NamedTuple):
+    H: jnp.ndarray     # (P, P, 6, 6) pose-pose blocks (depth-marginalized S)
+    v: jnp.ndarray     # (P, 6)
+    # depth back-substitution pieces:
+    Q: jnp.ndarray     # (M, HW) inverse depth-block diagonal
+    E: jnp.ndarray     # (P, M, 6, HW) pose-depth coupling
+    w: jnp.ndarray     # (M, HW) depth rhs
+    kx: jnp.ndarray    # (M,) unique source-frame ids (fixed = arange window)
+
+
+def build_system(target, weight, eta, poses, disps, intrinsics, ii, jj,
+                 edge_valid, fixedp=1, m_frames=None):
+    """Assemble the BA normal equations.
+
+    target/weight (N, 2, H, W) [DROID layout], eta (M, H, W) damping,
+    poses (P, 7) w2c, disps (P, H, W), ii/jj (N,) int32, edge_valid (N,).
+    Depth blocks are indexed by source frame directly (M = P; the reference
+    compacts to unique ii — with fixed window shapes indexing by frame id is
+    equivalent and cheaper).
+    """
+    P, ht, wd = disps.shape
+    N = ii.shape[0]
+    D = 6
+    HW = ht * wd
+    if m_frames is None:
+        m_frames = P
+
+    coords, valid, (Ji, Jj, Jz) = pops.projective_transform(
+        poses, disps, intrinsics, ii, jj, jacobian=True)
+
+    tgt = jnp.moveaxis(target, 1, -1)                  # (N, H, W, 2)
+    r = (tgt - coords) * valid
+    wgt = 0.001 * jnp.moveaxis(weight, 1, -1) * valid  # (N, H, W, 2)
+    wgt = wgt * edge_valid[:, None, None, None].astype(wgt.dtype)
+
+    Jif = Ji.reshape(N, HW, 2, D)
+    Jjf = Jj.reshape(N, HW, 2, D)
+    Jzf = Jz.reshape(N, HW, 2, 1)
+    rf = r.reshape(N, HW, 2, 1)
+    wf = wgt.reshape(N, HW, 2, 1)
+
+    wJi = wf * Jif
+    wJj = wf * Jjf
+
+    # pose-pose blocks (N, 6, 6): sum over pixels and the 2 coords
+    def blk(A, B):
+        return jnp.einsum("npcd,npce->nde", A, B)
+
+    Hii, Hij = blk(wJi, Jif), blk(wJi, Jjf)
+    Hji, Hjj = blk(wJj, Jif), blk(wJj, Jjf)
+    vi = jnp.einsum("npcd,npcz->nd", wJi, rf)
+    vj = jnp.einsum("npcd,npcz->nd", wJj, rf)
+
+    # pose-depth coupling (N, 6, HW) and depth diagonal/rhs (N, HW)
+    Ei = jnp.einsum("npcd,npcz->ndp", wJi, Jzf)
+    Ej = jnp.einsum("npcd,npcz->ndp", wJj, Jzf)
+    Ck = jnp.einsum("npcz,npcz->np", wf * Jzf, Jzf)
+    wk = jnp.einsum("npcz,npcz->np", wf * Jzf, rf)
+
+    # scatter into window-sized blocks; fixed poses drop via index < 0
+    Pa = P - fixedp
+    iia = ii - fixedp
+    jja = jj - fixedp
+
+    def safe_mat(vals, a, b, na, nb):
+        ok = (a >= 0) & (b >= 0)
+        idx = jnp.where(ok, a * nb + b, na * nb)
+        return jax.ops.segment_sum(vals, idx, num_segments=na * nb + 1)[:-1] \
+            .reshape(na, nb, *vals.shape[1:])
+
+    def safe_vec(vals, a, na):
+        idx = jnp.where(a >= 0, a, na)
+        return jax.ops.segment_sum(vals, idx, num_segments=na + 1)[:-1]
+
+    H = (safe_mat(Hii, iia, iia, Pa, Pa) + safe_mat(Hij, iia, jja, Pa, Pa)
+         + safe_mat(Hji, jja, iia, Pa, Pa) + safe_mat(Hjj, jja, jja, Pa, Pa))
+    v = safe_vec(vi, iia, Pa) + safe_vec(vj, jja, Pa)
+
+    # depth blocks keyed by source frame ii (not compacted)
+    E = (safe_mat(Ei, iia, ii, Pa, m_frames)
+         + safe_mat(Ej, jja, ii, Pa, m_frames))       # (Pa, M, 6, HW)
+    C = safe_vec(Ck, ii, m_frames)                    # (M, HW)
+    w = safe_vec(wk, ii, m_frames)
+
+    C = C + eta.reshape(m_frames, HW) + 1e-7
+    return H, v, E, C, w
+
+
+def schur_reduce(H, v, E, C, w):
+    """Marginalize depths: S = H - E Q E^T, v' = v - E Q w. Q = 1/C."""
+    Pa, M, D, HW = E.shape
+    Q = 1.0 / C                                        # (M, HW)
+    EQ = E * Q[None, :, None, :]                       # (Pa, M, 6, HW)
+    S = jnp.einsum("pmdh,qmeh->pqde", EQ, E)           # (Pa, Pa, 6, 6)
+    S = H - S
+    v2 = v - jnp.einsum("pmdh,mh->pd", EQ, w)
+    return S, v2, Q
+
+
+def damped_solve(S, v, ep=0.1, lm=1e-4):
+    """Dense damped solve of the (Pa*6, Pa*6) pose system via Cholesky."""
+    Pa = S.shape[0]
+    A = jnp.transpose(S, (0, 2, 1, 3)).reshape(Pa * 6, Pa * 6)
+    eye = jnp.eye(Pa * 6, dtype=A.dtype)
+    A = A + (ep + lm * A) * eye
+    b = v.reshape(Pa * 6)
+    L, lower = jax.scipy.linalg.cho_factor(A, lower=True)
+    ok = jnp.all(jnp.isfinite(L))
+    L = jnp.where(ok, L, eye)
+    dx = jax.scipy.linalg.cho_solve((L, True), jnp.where(ok, b, 0.0))
+    dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
+    return dx.reshape(Pa, 6)
+
+
+def depth_backsub(dx, E, Q, w):
+    """dz = Q (w - E^T dx)."""
+    Et_dx = jnp.einsum("pmdh,pd->mh", E, dx)
+    return Q * (w - Et_dx)
+
+
+def retract(poses, disps, dx, dz, fixedp=1):
+    P = poses.shape[0]
+    dx_full = jnp.concatenate(
+        [jnp.zeros((fixedp, 6), dx.dtype), dx], axis=0)
+    poses = lie.se3_retr(poses, dx_full)
+    disps = disps + dz.reshape(disps.shape)
+    disps = jnp.where(disps > 10.0, 0.0, disps)
+    disps = jnp.clip(disps, 0.0)
+    return poses, disps
+
+
+@functools.partial(jax.jit, static_argnames=("fixedp", "iters"))
+def ba(target, weight, eta, poses, disps, intrinsics, ii, jj, edge_valid,
+       fixedp=1, iters=1, ep=0.1, lm=1e-4):
+    """Full visual-only dense BA (droid_backends.ba equivalent).
+
+    Updates poses (P,7 w2c) and disps (P,H,W) in `iters` Gauss-Newton steps.
+    """
+    def step(_, carry):
+        poses, disps = carry
+        H, v, E, C, w = build_system(target, weight, eta, poses, disps,
+                                     intrinsics, ii, jj, edge_valid, fixedp)
+        S, v2, Q = schur_reduce(H, v, E, C, w)
+        dx = damped_solve(S, v2, ep, lm)
+        dz = depth_backsub(dx, E, Q, w)
+        return retract(poses, disps, dx, dz, fixedp)
+
+    return jax.lax.fori_loop(0, iters, step, (poses, disps))
+
+
+@functools.partial(jax.jit, static_argnames=("fixedp",))
+def ba_hessian(target, weight, eta, poses, disps, intrinsics, ii, jj,
+               edge_valid, fixedp=0):
+    """Depth-marginalized pose Hessian/rhs in the camera frame — the
+    `BACore.hessian` half-step consumed by the VIO factor graph
+    (depth_video.py:554-650). fixedp=0: all window poses are free there.
+    Returns (S (Pa,Pa,6,6), v (Pa,6), aux for retraction)."""
+    H, v, E, C, w = build_system(target, weight, eta, poses, disps,
+                                 intrinsics, ii, jj, edge_valid, fixedp)
+    S, v2, Q = schur_reduce(H, v, E, C, w)
+    return S, v2, (E, Q, w)
+
+
+@functools.partial(jax.jit, static_argnames=("fixedp",))
+def ba_retract(poses, disps, dx, aux, fixedp=0):
+    """Apply an externally solved pose delta; back-substitute depths
+    (`BACore.retract`)."""
+    E, Q, w = aux
+    dz = depth_backsub(dx, E, Q, w)
+    return retract(poses, disps, dx, dz, fixedp)

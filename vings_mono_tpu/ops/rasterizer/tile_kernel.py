@@ -64,6 +64,10 @@ CH_FLOW = slice(9, 11)
 CH_WM = 11
 CH_WM2 = 12
 
+# early termination: once every pixel of a tile has transmittance below this,
+# remaining (farther) chunks are skipped (2DGS CUDA stops at T < 1e-4 too)
+T_EPS = 1e-4
+
 # pair-gradient rows (match PK_* so callers can slice with the same names)
 GR_PAD = PK_PAD            # 24 rows: grads for the 21 used packed fields
 GR_SCORE_IMP = 21          # extra: sum_pix w   (importance score)
@@ -178,45 +182,51 @@ def _fwd_kernel(chunk_tile, chunk_first, meta, pair_ref, out_ref, carry):
     def _():
         carry[0, :] = jnp.ones((PIX,), jnp.float32)   # transmittance
 
-    qx, qy, px, py = _pixel_rays(tile_id, ntx, cam)
-    data = pair_ref[:, :]
-    alpha, z, _ = _coverage(data, qx, qy, px, py)
+    # early termination: the whole tile is opaque already -> skip the chunk
+    # (farther chunks of the same tile stay skipped since T only decreases)
+    live_tile = jnp.max(carry[0, :]) > T_EPS
 
-    T_excl, T_prod = _excl_scan_mul(1.0 - alpha)
-    w = alpha * T_excl * carry[0, :][None, :]
-
-    # NOTE: the 2DGS distortion channel is NOT accumulated here — per pixel
-    # it equals A_tot*D2_tot - D1_tot^2 of the wm/wm2/alpha totals we already
-    # emit (identical to the reference's per-splat prefix accumulation, see
-    # naive.py), so render.py computes it outside the kernel for free.
-    md = _md(z)
-    wmd = w * md
-    wmd2 = wmd * md
-
-    F = _feature_rows(data)
-    mm = jax.lax.dot_general(F, w, (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)  # (CH, PIX)
-    acc = jnp.concatenate([
-        mm[CH_RGB, :],
-        jnp.sum(w * z, axis=0)[None, :],
-        mm[CH_ALPHA:CH_ALPHA + 1, :],
-        mm[CH_NRM, :],
-        jnp.zeros((1, PIX), jnp.float32),   # CH_DIST placeholder
-        mm[CH_FLOW, :],
-        jnp.sum(wmd, axis=0)[None, :],
-        jnp.sum(wmd2, axis=0)[None, :],
-        mm[13:, :],
-    ], axis=0)
-
-    carry[0, :] = carry[0, :] * T_prod[0]
-
-    @pl.when(first)
+    @pl.when(live_tile)
     def _():
-        out_ref[0, :, :] = acc
+        qx, qy, px, py = _pixel_rays(tile_id, ntx, cam)
+        data = pair_ref[:, :]
+        alpha, z, _ = _coverage(data, qx, qy, px, py)
 
-    @pl.when(jnp.logical_not(first))
-    def _():
-        out_ref[0, :, :] = out_ref[0, :, :] + acc
+        T_excl, T_prod = _excl_scan_mul(1.0 - alpha)
+        w = alpha * T_excl * carry[0, :][None, :]
+
+        # NOTE: the 2DGS distortion channel is NOT accumulated here — per
+        # pixel it equals A_tot*D2_tot - D1_tot^2 of the wm/wm2/alpha totals
+        # we already emit (identical to the reference's per-splat prefix
+        # accumulation, see naive.py); render.py computes it for free.
+        md = _md(z)
+        wmd = w * md
+        wmd2 = wmd * md
+
+        F = _feature_rows(data)
+        mm = jax.lax.dot_general(F, w, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        acc = jnp.concatenate([
+            mm[CH_RGB, :],
+            jnp.sum(w * z, axis=0)[None, :],
+            mm[CH_ALPHA:CH_ALPHA + 1, :],
+            mm[CH_NRM, :],
+            jnp.zeros((1, PIX), jnp.float32),   # CH_DIST placeholder
+            mm[CH_FLOW, :],
+            jnp.sum(wmd, axis=0)[None, :],
+            jnp.sum(wmd2, axis=0)[None, :],
+            mm[13:, :],
+        ], axis=0)
+
+        carry[0, :] = carry[0, :] * T_prod[0]
+
+        @pl.when(first)
+        def _():
+            out_ref[0, :, :] = acc
+
+        @pl.when(jnp.logical_not(first))
+        def _():
+            out_ref[0, :, :] = out_ref[0, :, :] + acc
 
 
 def rasterize_forward(pair_data, chunk_tile, chunk_first, meta, num_tiles,
@@ -274,6 +284,22 @@ def _bwd_kernel(chunk_tile, chunk_first, meta, pair_ref, out_saved_ref,
         carry[0, :] = jnp.ones((PIX,), jnp.float32)   # transmittance
         carry[1, :] = jnp.zeros((PIX,), jnp.float32)  # prefix of gw*w
 
+    # early termination mirrors the forward: skipped chunks had w == 0, so
+    # their gradients are exactly zero (the grad block must still be written)
+    live_tile = jnp.max(carry[0, :]) > T_EPS
+
+    @pl.when(jnp.logical_not(live_tile))
+    def _():
+        grad_ref[:, :] = jnp.zeros_like(grad_ref)
+
+    @pl.when(live_tile)
+    def _():
+        _bwd_chunk_body(tile_id, ntx, cam, pair_ref, g, g_depth, g_wm,
+                        g_wm2, S_tot, grad_ref, carry)
+
+
+def _bwd_chunk_body(tile_id, ntx, cam, pair_ref, g, g_depth, g_wm, g_wm2,
+                    S_tot, grad_ref, carry):
     qx, qy, px, py = _pixel_rays(tile_id, ntx, cam)
     data = pair_ref[:, :]
     alpha, z, (u, v, rcp, expval, sel3, live, ddx, ddy) = _coverage(
