@@ -189,6 +189,47 @@ def ba(target, weight, eta, poses, disps, intrinsics, ii, jj, edge_valid,
     return jax.lax.fori_loop(0, iters, step, (poses, disps))
 
 
+def _mask_fixed(S, v, free_mask):
+    """Pin poses with free_mask=False: identity rows/cols in S, zero rhs.
+    free_mask (Pa,) refers to the post-fixedp indexing."""
+    m = free_mask.astype(S.dtype)
+    mm = m[:, None, None, None] * m[None, :, None, None]
+    eye6 = jnp.eye(6, dtype=S.dtype)
+    diag = (1.0 - m)[:, None, None] * eye6[None]
+    S = S * mm
+    # add identity on fixed diagonal blocks to keep the system well-posed
+    S = S + jnp.einsum("pq,pde->pqde", jnp.eye(S.shape[0], dtype=S.dtype),
+                       diag)
+    v = v * m[:, None]
+    return S, v
+
+
+@functools.partial(jax.jit, static_argnames=("iters",))
+def ba_window(target, weight, eta, poses, disps, intrinsics, ii, jj,
+              edge_valid, t0, iters=1, ep=0.1, lm=1e-4):
+    """Dense BA over a fixed-size window with a *traced* first-free index t0
+    (frames < t0 keep their poses; all depths stay free). This is the shape
+    the sliding-window frontend needs: the window tensors have static size,
+    but which prefix is pinned changes frame to frame
+    (covisible_graph.py:214-352 passes t0/t1 dynamically)."""
+    P = poses.shape[0]
+    free = jnp.arange(P) >= t0
+
+    def step(_, carry):
+        poses_c, disps_c = carry
+        H, v, E, C, w = build_system(target, weight, eta, poses_c, disps_c,
+                                     intrinsics, ii, jj, edge_valid,
+                                     fixedp=0)
+        S, v2, Q = schur_reduce(H, v, E, C, w)
+        S, v2 = _mask_fixed(S, v2, free)
+        dx = damped_solve(S, v2, ep, lm)
+        dx = dx * free[:, None].astype(dx.dtype)
+        dz = depth_backsub(dx, E, Q, w)
+        return retract(poses_c, disps_c, dx, dz, fixedp=0)
+
+    return jax.lax.fori_loop(0, iters, step, (poses, disps))
+
+
 @functools.partial(jax.jit, static_argnames=("fixedp",))
 def ba_hessian(target, weight, eta, poses, disps, intrinsics, ii, jj,
                edge_valid, fixedp=0):

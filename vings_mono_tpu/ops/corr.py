@@ -38,7 +38,9 @@ def build_pyramid(fmap1, fmap2, num_levels=NUM_LEVELS) -> CorrPyramid:
     for _ in range(num_levels - 1):
         c = levels[-1]
         n, p, hh, ww = c.shape
-        c = c.reshape(n, p, hh // 2, 2, ww // 2, 2).mean(axis=(3, 5))
+        h2, w2 = hh // 2, ww // 2     # floor like torch avg_pool2d stride 2
+        c = c[:, :, :2 * h2, :2 * w2]
+        c = c.reshape(n, p, h2, 2, w2, 2).mean(axis=(3, 5))
         levels.append(c)
     return CorrPyramid(levels=levels)
 

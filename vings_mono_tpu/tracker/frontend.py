@@ -1,0 +1,162 @@
+"""Sliding-window SLAM frontend (visual-only path) — rebuild of
+DBAFusionFrontend (/root/reference/scripts/frontend/dbaf_frontend.py) minus
+the GTSAM fusion (the VIO factor graph plugs in through tracker/vio.py):
+
+per new keyframe (__update, reference :167-399):
+  * age out stale edges into the inactive store,
+  * propose proximity edges (distance-ranked with NMS),
+  * iters1 GRU+BA updates,
+  * window rollup when t1 > rollup_at (spill oldest 30 to host save buffers),
+  * keyframe test: if the (t1-3, t1-2) flow distance is below threshold,
+    remove keyframe t1-2, else run iters2 more updates,
+  * seed pose/disp of the next incoming slot.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from .graph import CovisibleGraph
+from .video import DepthVideo
+
+
+class Frontend:
+    def __init__(self, video: DepthVideo, graph: CovisibleGraph, cfg):
+        self.video = video
+        self.graph = graph
+        fe = cfg["frontend"]
+        self.t0 = 0
+        self.t1 = 0
+        self.is_initialized = False
+        self.count = 0
+        self.warmup = int(fe.get("warm_up", fe.get("warmup", 8)))
+        self.beta = float(fe.get("beta", 0.3))
+        self.frontend_nms = int(fe.get("frontend_nms", 1))
+        self.keyframe_thresh = float(fe.get("keyframe_thresh", 3.5))
+        self.frontend_window = int(fe.get("frontend_window", 25))
+        self.frontend_thresh = float(fe.get("frontend_thresh", 17.5))
+        self.frontend_radius = int(fe.get("frontend_radius", 2))
+        self.active_window = int(fe.get("active_window", 12))
+        self.max_age = int(fe.get("max_age", 25))
+        self.visual_only = cfg.get("mode", "vo") == "vo"
+        if self.visual_only:
+            self.iters1 = int(fe.get("iters1", 4))
+            self.iters2 = int(fe.get("iters2", 2))
+            self.video.visual_only_init = True
+        else:
+            self.iters1 = int(fe.get("iters1", 2))
+            self.iters2 = int(fe.get("iters2", 1))
+        self.rollup_at = int(fe.get("rollup_at", 65))
+        self.rollup_n = int(fe.get("rollup_n", 30))
+        self.new_frame_added = False
+        self.did_rollup = False
+        # hook for the VIO fusion layer (set by tracker/vio.py)
+        self.inertial = None
+
+    # ------------------------------------------------------------------
+    def __call__(self):
+        if not self.is_initialized and self.video.counter == self.warmup:
+            self._initialize()
+        elif self.is_initialized and self.t1 < self.video.counter:
+            self._update()
+
+    # ------------------------------------------------------------------
+    def _initialize(self):
+        self.t0, self.t1 = 0, self.video.counter
+        self.graph.add_neighborhood_factors(self.t0, self.t1, r=3)
+        if self.inertial is not None:
+            self.inertial.init_states()
+        for _ in range(8):
+            self.graph.update(1, use_inactive=True)
+        self.graph.add_proximity_factors(0, 0, rad=2, nms=2,
+                                         thresh=self.frontend_thresh,
+                                         remove=False)
+        for _ in range(16):
+            self.graph.update(1, use_inactive=True)
+
+        self._seed_next(init=True)
+        self.is_initialized = True
+        self.graph.rm_factors(self.graph.ii < self.warmup - 4, store=True)
+
+    # ------------------------------------------------------------------
+    def _update(self):
+        self.new_frame_added = False
+        self.did_rollup = False
+        self.count += 1
+        self.t1 += 1
+
+        if self.inertial is not None:
+            self.inertial.on_new_frame(self.t1)
+
+        # age out edges (dbaf_frontend.py:252-258)
+        if len(self.graph.ii) > 0:
+            stale = (self.graph.ii < self.t1 - self.active_window) | \
+                (self.graph.jj < self.t1 - self.active_window)
+            if self.visual_only:
+                mask = (self.graph.age > self.max_age) & stale
+            else:
+                mask = (self.graph.age > self.max_age) | stale
+            self.graph.rm_factors(mask, store=True)
+
+        self.graph.add_proximity_factors(
+            self.t1 - 5, max(self.t1 - self.frontend_window, 0),
+            rad=self.frontend_radius, nms=self.frontend_nms,
+            thresh=self.frontend_thresh, beta=self.beta, remove=True)
+
+        # seed new disparity with the metric prior where available
+        self._apply_disp_prior(self.t1 - 1)
+
+        for _ in range(self.iters1):
+            self.graph.update(None, None, iters=2, use_inactive=True)
+
+        if self.t1 > self.rollup_at:
+            self._rollup(self.rollup_n)
+            self.did_rollup = True
+
+        # keyframe decision (dbaf_frontend.py:346-374)
+        d = float(np.asarray(self.video.distance(
+            [self.t1 - 3], [self.t1 - 2], beta=self.beta,
+            bidirectional=True))[0])
+        if d < self.keyframe_thresh:
+            self.graph.rm_keyframe(self.t1 - 2)
+            if self.inertial is not None:
+                self.inertial.on_rm_keyframe(self.t1 - 2)
+            self.t1 -= 1
+        else:
+            for _ in range(self.iters2):
+                self.graph.update(None, None, iters=2, use_inactive=True)
+            self.new_frame_added = True
+
+        if self.inertial is not None:
+            self.inertial.maybe_initialize(self.t1)
+
+        self._seed_next()
+
+    # ------------------------------------------------------------------
+    def _rollup(self, n):
+        self.video.rollup(n)
+        self.graph.shift_indices(n)
+        self.graph.ii_bad = np.maximum(self.graph.ii_bad - n, -1)
+        self.graph.jj_bad = np.maximum(self.graph.jj_bad - n, -1)
+        self.t0 = max(0, self.t0 - n)
+        self.t1 -= n
+        if self.inertial is not None:
+            self.inertial.on_rollup(n)
+
+    def _apply_disp_prior(self, ix):
+        b = self.video.bufs
+        new_disp = jnp.where(b.disps_sens[ix] > 0, b.disps_sens[ix],
+                             b.disps[ix])
+        self.video.bufs = b.replace(disps=b.disps.at[ix].set(new_disp))
+
+    def _seed_next(self, init=False):
+        b = self.video.bufs
+        t1 = self.t1
+        if init:
+            mean_disp = jnp.mean(b.disps[max(0, t1 - 4):t1])
+        else:
+            mean_disp = jnp.mean(b.disps[t1 - 1])
+        self.video.bufs = b.replace(
+            poses=b.poses.at[t1].set(b.poses[t1 - 1]),
+            disps=b.disps.at[t1].set(mean_disp))

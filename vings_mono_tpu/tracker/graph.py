@@ -1,0 +1,511 @@
+"""Covisible factor graph — fixed-slot TPU rebuild of
+/root/reference/scripts/frontend/covisible_graph.py.
+
+Split of responsibilities:
+  * tiny, shape-changing bookkeeping (edge lists ii/jj, ages, NMS edge
+    proposal, slot allocation) stays on the HOST as numpy — it is O(max
+    factors) integers per frame,
+  * every per-edge tensor (GRU state, correlation pyramids, targets,
+    weights) lives in fixed-capacity device arrays indexed by slot, and the
+    hot loop (reproject -> corr lookup -> GRU -> weight tricks -> dense BA
+    -> convex upsample) is ONE jitted program over the sliding window.
+
+The BA runs over a fixed-size window of W_BA frames ending at the newest
+keyframe; edges whose frames fall out of that window are masked out (the
+reference's active edges live within frontend_window=25 anyway).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.droid_net import UpdateModule
+from ..ops import ba as ba_ops
+from ..ops import corr as corr_ops
+from ..ops import projective as pops
+from ..ops.upsample import upsample_disp
+from .video import DepthVideo, VideoBuffers
+
+
+@flax.struct.dataclass
+class EdgeStore:
+    net: jnp.ndarray       # (E, h, w, 128) GRU hidden per edge
+    inp: jnp.ndarray       # (E, h, w, 128) context per edge
+    target: jnp.ndarray    # (E, h, w, 2)
+    weight: jnp.ndarray    # (E, h, w, 2)
+    corr1: jnp.ndarray     # (E, hw, h, w)      pyramid level 0
+    corr2: jnp.ndarray     # (E, hw, h/2, w/2)
+    corr3: jnp.ndarray     # (E, hw, h/4, w/4)
+    corr4: jnp.ndarray     # (E, hw, h/8, w/8)
+
+
+@flax.struct.dataclass
+class InactiveStore:
+    target: jnp.ndarray    # (I, h, w, 2)
+    weight: jnp.ndarray    # (I, h, w, 2)
+
+
+def empty_edges(e_cap, h, w):
+    z = jnp.zeros
+    return EdgeStore(
+        net=z((e_cap, h, w, 128), jnp.float32),
+        inp=z((e_cap, h, w, 128), jnp.float32),
+        target=z((e_cap, h, w, 2), jnp.float32),
+        weight=z((e_cap, h, w, 2), jnp.float32),
+        corr1=z((e_cap, h * w, h, w), jnp.float32),
+        corr2=z((e_cap, h * w, h // 2, w // 2), jnp.float32),
+        corr3=z((e_cap, h * w, h // 4, w // 4), jnp.float32),
+        corr4=z((e_cap, h * w, h // 8, w // 8), jnp.float32),
+    )
+
+
+@jax.jit
+def _add_edges_kernel(edges: EdgeStore, bufs: VideoBuffers, slots, ii, jj,
+                      valid):
+    """Fill edge slots: corr pyramid (fmap_i x fmap_j), GRU state from the
+    source frame, target from current reprojection, zero weight."""
+    f1 = bufs.fmaps[ii]
+    f2 = bufs.fmaps[jj]
+    pyr = corr_ops.build_pyramid(f1, f2)
+    coords, _ = pops.projective_transform(bufs.poses, bufs.disps,
+                                          bufs.intrinsics, ii, jj)
+    idx = jnp.where(valid, slots, edges.net.shape[0])
+    return edges.replace(
+        net=edges.net.at[idx].set(bufs.nets[ii], mode="drop"),
+        inp=edges.inp.at[idx].set(bufs.inps[ii], mode="drop"),
+        target=edges.target.at[idx].set(coords, mode="drop"),
+        weight=edges.weight.at[idx].set(0.0, mode="drop"),
+        corr1=edges.corr1.at[idx].set(pyr.levels[0], mode="drop"),
+        corr2=edges.corr2.at[idx].set(pyr.levels[1], mode="drop"),
+        corr3=edges.corr3.at[idx].set(pyr.levels[2], mode="drop"),
+        corr4=edges.corr4.at[idx].set(pyr.levels[3], mode="drop"),
+    )
+
+
+@jax.jit
+def _store_inactive_kernel(inac: InactiveStore, edges: EdgeStore,
+                           e_slots, i_slots, valid):
+    idx = jnp.where(valid, i_slots, inac.target.shape[0])
+    return inac.replace(
+        target=inac.target.at[idx].set(edges.target[e_slots], mode="drop"),
+        weight=inac.weight.at[idx].set(edges.weight[e_slots], mode="drop"))
+
+
+@functools.partial(jax.jit, static_argnames=("w_ba", "iters", "update_apply"))
+def _fused_update(params, update_apply, bufs: VideoBuffers,
+                  edges: EdgeStore, inac: InactiveStore,
+                  slots, ii, jj, valid,
+                  inac_slots, inac_ii, inac_jj, inac_valid,
+                  base, t0, t1, flags, *, w_ba: int, iters: int):
+    """One GRU+BA update over the active graph (covisible_graph.py:214-352).
+
+    slots/ii/jj/valid: fixed-cap active edge arrays (absolute window-buffer
+    frame ids). base: first frame of the BA window (t1 - w_ba, clipped).
+    t0: first free pose. flags: (imu_enabled, visual_only_init,
+    far_threshold, mask_threshold) as a float vector.
+    """
+    h, w = bufs.disps.shape[1:3]
+    coords0 = pops.coords_grid(h, w)
+
+    # ---- reproject + corr lookup + GRU ------------------------------
+    coords1, _ = pops.projective_transform(bufs.poses, bufs.disps,
+                                           bufs.intrinsics, ii, jj)
+    motn = jnp.concatenate([coords1 - coords0,
+                            edges.target[slots] - coords1], axis=-1)
+    motn = jnp.clip(motn, -64.0, 64.0)
+
+    pyr = corr_ops.CorrPyramid(levels=[edges.corr1[slots],
+                                       edges.corr2[slots],
+                                       edges.corr3[slots],
+                                       edges.corr4[slots]])
+    corr = corr_ops.lookup(pyr, coords1)
+
+    # GraphAgg aggregates per *window-relative* source frame
+    ii_rel = jnp.clip(ii - base, 0, w_ba - 1)
+    net_new, delta, weight, eta, upmask = update_apply(
+        params, edges.net[slots], edges.inp[slots], corr, motn,
+        jnp.where(valid, ii_rel, w_ba), w_ba + 1, True)
+
+    target = coords1 + delta
+    vmask = valid[:, None, None, None].astype(weight.dtype)
+    weight = weight * vmask
+
+    edges = edges.replace(net=edges.net.at[slots].set(net_new),
+                          target=edges.target.at[slots].set(target),
+                          weight=edges.weight.at[slots].set(weight))
+
+    # damping: update rows of frames that have edges (unique(ii))
+    has_edge = jax.ops.segment_sum(valid.astype(jnp.float32), ii_rel,
+                                   num_segments=w_ba + 1)[:w_ba] > 0
+    damping_win = jax.lax.dynamic_slice_in_dim(bufs.damping, base, w_ba)
+    damping_win = jnp.where(has_edge[:, None, None], eta[:w_ba],
+                            damping_win)
+    bufs = bufs.replace(damping=jax.lax.dynamic_update_slice_in_dim(
+        bufs.damping, damping_win, base, axis=0))
+
+    # ---- weight tricks (covisible_graph.py:317-335) -------------------
+    imu_enabled = flags[0] > 0
+    vis_only = flags[1] > 0
+    far_thresh = flags[2]
+    mask_thresh = flags[3]
+
+    disp_i = bufs.disps[ii]                       # (E, h, w)
+    far_mask = (disp_i < far_thresh)[..., None]
+    cond_far = ((far_thresh > 0) & (imu_enabled | vis_only))
+    weight = jnp.where(cond_far & far_mask, weight / 1000.0, weight)
+
+    from ..ops import lie
+    rel = lie.se3_mul(bufs.poses[ii], lie.se3_inv(bufs.poses[jj]))
+    small_t = jnp.linalg.norm(rel[:, :3], axis=-1) < mask_thresh
+    cond_small = ((mask_thresh > 0) & (imu_enabled | vis_only))
+    weight = jnp.where(cond_small & small_t[:, None, None, None],
+                       weight / 1000.0, weight)
+
+    ii_max = jnp.max(jnp.where(valid, ii, -1))
+    jj_max = jnp.max(jnp.where(valid, jj, -1))
+    weight = jnp.where((ii == ii_max)[:, None, None, None], weight / 10.0,
+                       weight)
+    weight = jnp.where((jj == jj_max)[:, None, None, None], weight / 4.0,
+                       weight)
+
+    # ---- assemble BA inputs over the window ---------------------------
+    poses_win = jax.lax.dynamic_slice_in_dim(bufs.poses, base, w_ba)
+    disps_win = jax.lax.dynamic_slice_in_dim(bufs.disps, base, w_ba)
+    dsens_win = jax.lax.dynamic_slice_in_dim(bufs.disps_sens, base, w_ba)
+    intr_win = jax.lax.dynamic_slice_in_dim(bufs.intrinsics, base, w_ba)
+    eta_ba = 0.2 * damping_win + 1e-7
+
+    jj_rel = jnp.clip(jj - base, 0, w_ba - 1)
+    in_win = (ii >= base) & (jj >= base) & (ii < base + w_ba) & \
+        (jj < base + w_ba)
+    ev_act = valid & in_win
+
+    i_ii = jnp.clip(inac_ii - base, 0, w_ba - 1)
+    i_jj = jnp.clip(inac_jj - base, 0, w_ba - 1)
+    i_in = (inac_ii >= base) & (inac_jj >= base) & \
+        (inac_ii < base + w_ba) & (inac_jj < base + w_ba)
+    # reference additionally gates by t0 - inac_range (host precomputes
+    # inac_valid with that)
+    ev_in = inac_valid & i_in
+
+    all_ii = jnp.concatenate([ii_rel, i_ii])
+    all_jj = jnp.concatenate([jj_rel, i_jj])
+    all_valid = jnp.concatenate([ev_act, ev_in])
+    all_target = jnp.concatenate([target, inac.target[inac_slots]])
+    all_weight = jnp.concatenate([weight, inac.weight[inac_slots]])
+
+    tgt = jnp.moveaxis(all_target, -1, 1)        # (N, 2, h, w)
+    wgt = jnp.moveaxis(all_weight, -1, 1)
+
+    t0_rel = t0 - base
+    poses_win, disps_win = ba_ops.ba_window(
+        tgt, wgt, eta_ba, poses_win, disps_win, intr_win, all_ii, all_jj,
+        all_valid, t0_rel, iters=iters)
+
+    # honor metric-depth priors the way depth_video.ba's fallback does:
+    # where disps_sens > 0 keep it pinned (depth_video.py:376-379 uses it in
+    # the CUDA kernel; we re-pin after the solve)
+    disps_win = jnp.where(dsens_win > 0, dsens_win, disps_win)
+
+    bufs = bufs.replace(
+        poses=jax.lax.dynamic_update_slice_in_dim(bufs.poses, poses_win,
+                                                  base, axis=0),
+        disps=jax.lax.dynamic_update_slice_in_dim(bufs.disps, disps_win,
+                                                  base, axis=0))
+
+    # ---- convex upsampling of window disparities ----------------------
+    up = upsample_disp(disps_win, upmask[:w_ba])
+    up_old = jax.lax.dynamic_slice_in_dim(bufs.disps_up, base, w_ba)
+    up = jnp.where(has_edge[:, None, None], up, up_old)
+    bufs = bufs.replace(disps_up=jax.lax.dynamic_update_slice_in_dim(
+        bufs.disps_up, up, base, axis=0))
+    return bufs, edges
+
+
+class CovisibleGraph:
+    """Host-side graph bookkeeping over device edge slots."""
+
+    def __init__(self, video: DepthVideo, update_apply, params, cfg):
+        self.video = video
+        self.update_apply = update_apply
+        self.params = params
+        fe = cfg["frontend"]
+        self.max_factors = int(fe["max_factors"])
+        self.e_cap = int(fe.get("edge_capacity", 2 * self.max_factors))
+        self.i_cap = int(fe.get("inactive_capacity", 4 * self.max_factors))
+        self.w_ba = int(fe.get("ba_window", 34))
+        self.far_threshold = float(fe.get("far_threshold", -1.0))
+        self.inac_range = int(fe.get("inac_range", 9))
+        self.mask_threshold = float(fe.get("mask_threshold", -1.0))
+        self.skip_edge = fe.get("skip_edge", False)
+        self.frontend_window = int(fe.get("frontend_window", 25))
+
+        h, w = video.ht // 8, video.wd // 8
+        self.h, self.w = h, w
+        self.edges = empty_edges(self.e_cap, h, w)
+        self.inac = InactiveStore(
+            target=jnp.zeros((self.i_cap, h, w, 2), jnp.float32),
+            weight=jnp.zeros((self.i_cap, h, w, 2), jnp.float32))
+
+        # host-side edge lists
+        self.ii = np.zeros(0, np.int64)
+        self.jj = np.zeros(0, np.int64)
+        self.age = np.zeros(0, np.int64)
+        self.slot = np.zeros(0, np.int64)
+        self.free_slots = list(range(self.e_cap))
+
+        self.ii_inac = np.zeros(0, np.int64)
+        self.jj_inac = np.zeros(0, np.int64)
+        self.slot_inac = np.zeros(0, np.int64)
+        self.free_inac = list(range(self.i_cap))
+
+        self.ii_bad = np.zeros(0, np.int64)
+        self.jj_bad = np.zeros(0, np.int64)
+
+    # ------------------------------------------------------------------
+    def _edge_set(self):
+        return set(zip(self.ii.tolist(), self.jj.tolist())) | \
+            set(zip(self.ii_inac.tolist(), self.jj_inac.tolist()))
+
+    def add_factors(self, ii, jj, remove=False):
+        ii = np.asarray(ii, np.int64).reshape(-1)
+        jj = np.asarray(jj, np.int64).reshape(-1)
+        eset = self._edge_set()
+        keep = [k for k in range(len(ii))
+                if (ii[k], jj[k]) not in eset]
+        # also dedupe within the batch
+        seen = set()
+        keep2 = []
+        for k in keep:
+            if (ii[k], jj[k]) not in seen:
+                seen.add((ii[k], jj[k]))
+                keep2.append(k)
+        ii, jj = ii[keep2], jj[keep2]
+        if len(ii) == 0:
+            return
+
+        if (self.max_factors > 0 and remove
+                and len(self.ii) + len(ii) > self.max_factors):
+            n_drop = len(self.ii) + len(ii) - self.max_factors
+            order = np.argsort(-self.age)        # oldest first
+            drop = np.zeros(len(self.ii), bool)
+            drop[order[:n_drop]] = True
+            self.rm_factors(drop, store=True)
+
+        n_room = min(len(ii), len(self.free_slots))
+        ii, jj = ii[:n_room], jj[:n_room]
+        if n_room == 0:
+            return
+        slots = np.asarray([self.free_slots.pop(0) for _ in range(n_room)],
+                           np.int64)
+        self.edges = _add_edges_kernel(
+            self.edges, self.video.bufs, jnp.asarray(slots, jnp.int32),
+            jnp.asarray(ii, jnp.int32), jnp.asarray(jj, jnp.int32),
+            jnp.ones((n_room,), bool))
+        self.ii = np.concatenate([self.ii, ii])
+        self.jj = np.concatenate([self.jj, jj])
+        self.age = np.concatenate([self.age, np.zeros(len(ii), np.int64)])
+        self.slot = np.concatenate([self.slot, slots])
+
+    def rm_factors(self, mask, store=False):
+        mask = np.asarray(mask, bool)
+        if mask.sum() == 0:
+            return
+        if store:
+            e_slots = self.slot[mask]
+            n = len(e_slots)
+            n_room = min(n, len(self.free_inac))
+            i_slots = np.asarray([self.free_inac.pop(0)
+                                  for _ in range(n_room)], np.int64)
+            if n_room > 0:
+                self.inac = _store_inactive_kernel(
+                    self.inac, self.edges,
+                    jnp.asarray(e_slots[:n_room], jnp.int32),
+                    jnp.asarray(i_slots, jnp.int32),
+                    jnp.ones((n_room,), bool))
+                self.ii_inac = np.concatenate([self.ii_inac,
+                                               self.ii[mask][:n_room]])
+                self.jj_inac = np.concatenate([self.jj_inac,
+                                               self.jj[mask][:n_room]])
+                self.slot_inac = np.concatenate([self.slot_inac, i_slots])
+        self.free_slots.extend(self.slot[mask].tolist())
+        self.ii = self.ii[~mask]
+        self.jj = self.jj[~mask]
+        self.age = self.age[~mask]
+        self.slot = self.slot[~mask]
+
+    def _drop_inactive(self, mask):
+        self.free_inac.extend(self.slot_inac[mask].tolist())
+        self.ii_inac = self.ii_inac[~mask]
+        self.jj_inac = self.jj_inac[~mask]
+        self.slot_inac = self.slot_inac[~mask]
+
+    def rm_keyframe(self, ix):
+        self.video.rm_keyframe(ix)
+        m = (self.ii_inac == ix) | (self.jj_inac == ix)
+        self.ii_inac[self.ii_inac >= ix] -= 1
+        self.jj_inac[self.jj_inac >= ix] -= 1
+        if m.any():
+            self._drop_inactive(m)
+        m = (self.ii == ix) | (self.jj == ix)
+        self.ii[self.ii >= ix] -= 1
+        self.jj[self.jj >= ix] -= 1
+        self.rm_factors(m, store=False)
+
+    def shift_indices(self, n):
+        """After a video rollup of n frames, rebase edge indices; edges that
+        reference spilled frames are dropped."""
+        m = (self.ii < n) | (self.jj < n)
+        self.rm_factors(m, store=False)
+        self.ii -= n
+        self.jj -= n
+        mi = (self.ii_inac < n) | (self.jj_inac < n)
+        self._drop_inactive(mi)
+        self.ii_inac -= n
+        self.jj_inac -= n
+
+    def filter_edges(self):
+        """Remove long-range edges whose learned confidence collapsed."""
+        if len(self.ii) == 0:
+            return
+        wmean = np.asarray(jax.device_get(jnp.mean(
+            self.edges.weight[jnp.asarray(self.slot, jnp.int32)],
+            axis=(1, 2, 3))))
+        mask = (np.abs(self.ii - self.jj) > 2) & (wmean < 0.001)
+        self.ii_bad = np.concatenate([self.ii_bad, self.ii[mask]])
+        self.jj_bad = np.concatenate([self.jj_bad, self.jj[mask]])
+        self.rm_factors(mask, store=False)
+
+    # ------------------------------------------------------------------
+    def _pad(self, x, cap, fill=0):
+        out = np.full(cap, fill, np.int64)
+        out[:len(x)] = x
+        return out
+
+    def update(self, t0=None, t1=None, iters=2, use_inactive=True):
+        if len(self.ii) == 0:
+            return
+        if t0 is None:
+            t0 = max(1, int(self.ii.min()) + 1)
+        if t1 is None:
+            t1 = max(int(self.ii.max()), int(self.jj.max())) + 1
+        base = max(0, t1 - self.w_ba)
+
+        e = self.e_cap
+        slots = self._pad(self.slot, e)
+        ii = self._pad(self.ii, e)
+        jj = self._pad(self.jj, e)
+        valid = np.zeros(e, bool)
+        valid[:len(self.ii)] = True
+
+        i_cap = self.i_cap
+        if use_inactive and len(self.ii_inac) > 0:
+            m = (self.ii_inac >= t0 - self.inac_range) & \
+                (self.jj_inac >= t0 - self.inac_range)
+        else:
+            m = np.zeros(len(self.ii_inac), bool)
+        in_slots = self._pad(self.slot_inac[m], i_cap)
+        in_ii = self._pad(self.ii_inac[m], i_cap)
+        in_jj = self._pad(self.jj_inac[m], i_cap)
+        in_valid = np.zeros(i_cap, bool)
+        in_valid[:int(m.sum())] = True
+
+        flags = jnp.asarray([1.0 if self.video.imu_enabled else 0.0,
+                             1.0 if self.video.visual_only_init else 0.0,
+                             self.far_threshold, self.mask_threshold],
+                            jnp.float32)
+        self.video.bufs, self.edges = _fused_update(
+            self.params, self.update_apply, self.video.bufs, self.edges,
+            self.inac,
+            jnp.asarray(slots, jnp.int32), jnp.asarray(ii, jnp.int32),
+            jnp.asarray(jj, jnp.int32), jnp.asarray(valid),
+            jnp.asarray(in_slots, jnp.int32), jnp.asarray(in_ii, jnp.int32),
+            jnp.asarray(in_jj, jnp.int32), jnp.asarray(in_valid),
+            jnp.asarray(base, jnp.int32), jnp.asarray(t0, jnp.int32),
+            jnp.asarray(t1, jnp.int32), flags,
+            w_ba=self.w_ba, iters=iters)
+        self.age += 1
+
+    # ------------------------------------------------------------------
+    # edge proposal (host logic, device distances)
+    def add_neighborhood_factors(self, t0, t1, r=3):
+        ii, jj = np.meshgrid(np.arange(t0, t1), np.arange(t0, t1),
+                             indexing="ij")
+        ii, jj = ii.reshape(-1), jj.reshape(-1)
+        keep = (np.abs(ii - jj) > 0) & (np.abs(ii - jj) <= r)
+        self.add_factors(ii[keep], jj[keep])
+
+    def add_proximity_factors(self, t0=0, t1=0, rad=2, nms=2, beta=0.25,
+                              thresh=16.0, remove=False):
+        t = self.video.counter
+        ix = np.arange(t0, t)
+        jx = np.arange(t1, t)
+        if len(ix) == 0 or len(jx) == 0:
+            return
+        ii, jj = np.meshgrid(ix, jx, indexing="ij")
+        ii, jj = ii.reshape(-1), jj.reshape(-1)
+        cc = ii.shape[0]
+
+        if self.skip_edge:
+            if ii.max() - ii.min() == self.frontend_window - 1:
+                jj_add = ii.min() + np.asarray(self.skip_edge, np.int64)
+                jj_add = jj_add[jj_add > 0]
+                ii_add = np.full_like(jj_add, ii.max())
+                jj = np.concatenate([jj, jj_add])
+                ii = np.concatenate([ii, ii_add])
+
+        d = np.asarray(jax.device_get(
+            self.video.distance(ii, jj, beta=beta)), np.float64)
+        d[ii - rad < jj] = np.inf
+        d[d > 100] = np.inf
+
+        def suppress(i, j):
+            for di in range(-nms, nms + 1):
+                for dj in range(-nms, nms + 1):
+                    if abs(di) + abs(dj) <= max(min(abs(i - j) - 2, nms), 0):
+                        i1, j1 = i + di, j + dj
+                        if (t0 <= i1 < t) and (t1 <= j1 < t):
+                            k = (i1 - t0) * (t - t1) + (j1 - t1)
+                            if 0 <= k < cc:
+                                d[k] = np.inf
+
+        for i, j in zip(np.concatenate([self.ii, self.ii_bad,
+                                        self.ii_inac]),
+                        np.concatenate([self.jj, self.jj_bad,
+                                        self.jj_inac])):
+            suppress(int(i), int(j))
+
+        es = []
+        for i in range(t0, t):
+            for j in range(max(i - rad - 1, 0), i):
+                es.append((i, j))
+                es.append((j, i))
+                k = (i - t0) * (t - t1) + (j - t1)
+                if k >= 0 and k < cc:
+                    d[k] = np.inf
+
+        for k in np.argsort(d):
+            if k >= cc or d[k] > thresh:
+                continue
+            if len(es) > self.max_factors:
+                break
+            i, j = int(ii[k]), int(jj[k])
+            es.append((i, j))
+            es.append((j, i))
+            suppress(i, j)
+
+        if ii.shape[0] > cc:
+            sk = np.argsort(d[cc:ii.shape[0]])
+            if d[cc + sk[0]] < thresh and d[cc + sk[0]] > 0:
+                es.append((int(ii[cc + sk[0]]), int(jj[cc + sk[0]])))
+                es.append((int(jj[cc + sk[0]]), int(ii[cc + sk[0]])))
+
+        if es:
+            a, b = np.asarray(es, np.int64).T
+            self.add_factors(a, b, remove)

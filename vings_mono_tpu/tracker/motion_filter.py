@@ -1,0 +1,87 @@
+"""Per-frame motion gate — rebuild of MotionFilter
+(/root/reference/scripts/frontend/motion_filter.py): extract features for
+every incoming frame, run one GRU step against the last keyframe, and append
+a new keyframe only when the predicted flow magnitude exceeds the threshold.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..models.droid_net import normalize_image
+from ..ops import corr as corr_ops
+from ..ops import lie, projective as pops
+from .video import DepthVideo
+
+
+@functools.partial(jax.jit, static_argnames=("fnet_apply",))
+def _features(params, fnet_apply, image):
+    return fnet_apply(params, normalize_image(image[None]))
+
+
+@functools.partial(jax.jit, static_argnames=("cnet_apply",))
+def _context(params, cnet_apply, image):
+    return cnet_apply(params, normalize_image(image[None]))
+
+
+@functools.partial(jax.jit, static_argnames=("update_apply",))
+def _flow_magnitude(params, update_apply, fmap_kf, fmap_new, net, inp):
+    """1-step GRU flow magnitude between the last keyframe and the new
+    frame (motion_filter.py:75-84)."""
+    h, w = fmap_kf.shape[1:3]
+    pyr = corr_ops.build_pyramid(fmap_kf, fmap_new)
+    coords0 = pops.coords_grid(h, w)[None]
+    corr = corr_ops.lookup(pyr, coords0)
+    _, delta, _, _, _ = update_apply(params, net, inp, corr, None, None, 0,
+                                     False)
+    return jnp.mean(jnp.linalg.norm(delta, axis=-1))
+
+
+class MotionFilter:
+    def __init__(self, params, apply_fns, video: DepthVideo, thresh=2.5):
+        self.params = params
+        self.fnet_apply, self.cnet_apply, self.update_apply = apply_fns
+        self.video = video
+        self.thresh = thresh
+        self.count = 0
+        self.fmap = None
+        self.net = None
+        self.inp = None
+
+    def track(self, tstamp, image, depth=None, intrinsics=None):
+        """image (H, W, 3) float32 RGB in [0,1]; depth (H, W) metric or
+        None; intrinsics [fx, fy, cx, cy] at full res."""
+        fmap = _features(self.params, self.fnet_apply, image)
+
+        if depth is not None:
+            d8 = depth[3::8, 3::8]
+            disp_sens = jnp.where(d8 > 0, 1.0 / jnp.clip(d8, 1e-6), 0.0)
+        else:
+            disp_sens = jnp.zeros((image.shape[0] // 8,
+                                   image.shape[1] // 8), jnp.float32)
+
+        if self.video.counter == 0:
+            fm, net, inp = self._full_context(image, fmap)
+            self.video.append(tstamp, image, lie.se3_identity(),
+                              jnp.ones_like(disp_sens), disp_sens,
+                              intrinsics, fmap[0], net[0], inp[0])
+            return True
+
+        mag = float(_flow_magnitude(self.params, self.update_apply,
+                                    self.fmap, fmap, self.net, self.inp))
+        if mag > self.thresh:
+            self.count = 0
+            fm, net, inp = self._full_context(image, fmap)
+            self.video.append(tstamp, image, None, None, disp_sens,
+                              intrinsics, fmap[0], net[0], inp[0])
+            return True
+        self.count += 1
+        return False
+
+    def _full_context(self, image, fmap):
+        net, inp = _context(self.params, self.cnet_apply, image)
+        self.fmap, self.net, self.inp = fmap, net, inp
+        return fmap, net, inp
