@@ -1,0 +1,75 @@
+"""Full flagship pipeline smoke test on CPU: dataset -> tracker ->
+middleware -> mapper -> trajectory + ply outputs (reference run.py flow)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from vings_mono_tpu.utils.config import load_config
+from vings_mono_tpu.runners.run import run as run_pipeline
+
+
+def make_cfg(tmp):
+    return load_config(overrides={
+        "mode": "vo",
+        "dataset": {"module": "synthetic", "n_frames": 14},
+        "frontend": {
+            "image_size": [48, 64],
+            "buffer": 24, "warm_up": 8, "filter_thresh": -1.0,
+            "keyframe_thresh": 0.0, "frontend_thresh": 1e9,
+            "frontend_window": 8, "frontend_radius": 2, "frontend_nms": 1,
+            "max_factors": 16, "edge_capacity": 24, "inactive_capacity": 32,
+            "ba_window": 10, "iters1": 1, "iters2": 1,
+            "active_window": 8, "max_age": 6,
+            "rollup_at": 100, "rollup_n": 4, "save_buffer": 64,
+        },
+        "training_args": {"iters": 6, "num_keyframe": 3},
+        "mapper": {"capacity": 4096, "pair_capacity": 4096, "chunk": 64,
+                   "kf_capacity": 4, "points_per_frame": 256,
+                   "points_first_frame": 512, "impl": "naive"},
+        "middleware": {"max_depth": 1000.0, "cov_times": 1e9},
+        "output": {"save_dir": str(tmp)},
+    })
+
+
+def test_full_pipeline(tmp_path):
+    cfg = make_cfg(tmp_path)
+    save_dir = str(tmp_path / "run")
+    os.makedirs(os.path.join(save_dir, "ply"), exist_ok=True)
+    tracker, mapper, timer = run_pipeline(cfg, save_dir)
+
+    # trajectory written
+    pose_files = os.listdir(os.path.join(save_dir, "droid_c2w"))
+    assert len(pose_files) >= 8
+    m = np.loadtxt(os.path.join(save_dir, "droid_c2w", pose_files[0]))
+    assert m.shape == (4, 4) and np.all(np.isfinite(m))
+
+    # mapper produced a map
+    assert mapper.initialized
+    assert mapper.n_alive > 100
+    assert os.path.exists(os.path.join(save_dir, "ply", "final_2dgs.ply"))
+    assert os.path.exists(os.path.join(save_dir, "keyframelist.txt"))
+
+
+def test_tracking_then_mapping_replay(tmp_path):
+    """run_tracking debug dumps -> run_mapping replay (the reference's own
+    integration harness, SURVEY §3.5)."""
+    from vings_mono_tpu.runners.run_tracking import run as run_tracking
+    from vings_mono_tpu.runners.run_mapping import run as run_mapping
+
+    cfg = make_cfg(tmp_path)
+    cfg["debug_mode"] = True
+    tdir = str(tmp_path / "trackrun")
+    os.makedirs(tdir, exist_ok=True)
+    run_tracking(cfg, tdir)
+    dumps = os.listdir(os.path.join(tdir, "vizout_dict"))
+    assert len(dumps) >= 2
+
+    cfg2 = make_cfg(tmp_path)
+    cfg2["dataset"] = {"module": "replay",
+                       "root": os.path.join(tdir, "vizout_dict")}
+    mdir = str(tmp_path / "maprun")
+    os.makedirs(os.path.join(mdir, "ply"), exist_ok=True)
+    mapper = run_mapping(cfg2, mdir)
+    assert mapper.n_alive > 50

@@ -1,0 +1,109 @@
+"""Flagship single-process pipeline (reference scripts/run.py):
+dataset -> tracker -> middleware -> mapper [-> looper -> storage] -> outputs.
+
+Usage: python -m vings_mono_tpu.runners.run <config.yaml> [--prefix NAME]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def build(cfg):
+    from ..datasets.base import get_dataset
+    from ..tracker.tracker import Tracker
+    from ..mapper.mapper import GaussianMapper
+
+    dataset = get_dataset(cfg)
+    H, W = (int(cfg["frontend"]["image_size"][0]),
+            int(cfg["frontend"]["image_size"][1]))
+    cfg["frontend"]["c2i"] = getattr(dataset, "c2i", np.eye(4))
+    weights = cfg["frontend"].get("weight")
+    tracker = Tracker(cfg, H, W, weights_path=weights)
+    mapper = GaussianMapper(cfg)
+
+    looper = None
+    if cfg.get("use_loop"):
+        from ..loop.loop_model import LoopModel
+        looper = LoopModel(cfg)
+    storage = None
+    if cfg.get("use_storage_manager"):
+        from ..storage.manager import StorageManager
+        storage = StorageManager(cfg)
+    metric = None
+    if cfg.get("use_metric"):
+        from ..models.metric_depth import MetricDepth
+        metric = MetricDepth(cfg)
+    return dataset, tracker, mapper, looper, storage, metric
+
+
+def run(cfg, save_dir, max_frames=None, on_frame=None):
+    from ..middleware import judge_and_package
+    from ..utils.trajectory import save_trajectory
+    from ..utils.profiling import StageTimer
+
+    dataset, tracker, mapper, looper, storage, metric = build(cfg)
+    if cfg.get("mode") == "vio":
+        from ..tracker.vio import InertialFusion
+        imu = dataset.preload_imu()
+        tracker.frontend.inertial = InertialFusion(
+            tracker.video, cfg, imu, np.asarray(cfg["frontend"]["c2i"]))
+
+    timer = StageTimer()
+    n = len(dataset) if max_frames is None else min(len(dataset),
+                                                    max_frames)
+    kf_count = 0
+    for idx in range(n):
+        pkt = dataset[idx]
+        if metric is not None:
+            with timer("metric"):
+                pkt["depth"] = metric.predict(pkt["rgb"], pkt["intrinsic"])
+        with timer("track"):
+            tracker.track(pkt)
+        with timer("package"):
+            viz_out = judge_and_package(tracker, cfg)
+        if viz_out is not None:
+            with timer("map"):
+                mapper.run(viz_out)
+            kf_count += 1
+            if looper is not None and kf_count > \
+                    cfg["looper"]["start_after"] and \
+                    kf_count % cfg["looper"]["every"] == 0:
+                with timer("loop"):
+                    looper.run(mapper, tracker, viz_out, idx)
+        if storage is not None and idx % cfg["storage_manager"]["every"] \
+                == cfg["storage_manager"]["every"] - 1:
+            with timer("storage"):
+                storage.run(tracker, mapper, viz_out)
+        if on_frame is not None:
+            on_frame(idx, tracker, mapper, viz_out)
+
+    save_trajectory(tracker, save_dir)
+    mapper.save_ply(os.path.join(save_dir, "ply", "final_2dgs.ply"))
+    return tracker, mapper, timer
+
+
+def main(argv=None):
+    from ..utils.config import load_config, make_run_dir
+    p = argparse.ArgumentParser()
+    p.add_argument("config")
+    p.add_argument("--prefix", default="")
+    p.add_argument("--max-frames", type=int, default=None)
+    args = p.parse_args(argv)
+    cfg = load_config(args.config)
+    save_dir = make_run_dir(cfg, args.prefix)
+    import shutil
+    shutil.copy(args.config, os.path.join(save_dir, "config.yaml"))
+    t0 = time.time()
+    tracker, mapper, timer = run(cfg, save_dir, args.max_frames)
+    print(f"done in {time.time() - t0:.1f}s -> {save_dir}")
+    print(timer.report())
+
+
+if __name__ == "__main__":
+    main()

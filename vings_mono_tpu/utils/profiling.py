@@ -1,0 +1,44 @@
+"""Stage timing — replaces the reference's CUDA-event Wandber.log_time
+(gaussian/wandb_utils.py:30-45) with host wall-clock around blocked device
+work plus optional jax.profiler traces."""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from collections import defaultdict
+
+
+class StageTimer:
+    def __init__(self):
+        self.totals = defaultdict(float)
+        self.counts = defaultdict(int)
+
+    @contextlib.contextmanager
+    def __call__(self, name):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            self.totals[name] += time.perf_counter() - t0
+            self.counts[name] += 1
+
+    def report(self):
+        lines = []
+        for k in sorted(self.totals):
+            n = max(self.counts[k], 1)
+            lines.append(f"{k}: total {self.totals[k]:.2f}s, "
+                         f"n={self.counts[k]}, "
+                         f"avg {1e3 * self.totals[k] / n:.1f}ms")
+        return "\n".join(lines)
+
+
+@contextlib.contextmanager
+def trace(dirname):
+    """jax.profiler trace context (view in TensorBoard/XProf)."""
+    import jax
+    jax.profiler.start_trace(dirname)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
