@@ -43,9 +43,11 @@ def judge_and_package(tracker, cfg=None):
     if len(valid_localkf) == 0:
         return None
 
-    jj_all = np.concatenate([graph.jj_inac[m], graph.jj])
-    local_to_global_bias = video.count_save - int(min(ii.min(),
-                                                      jj_all.min()))
+    # our save buffers hold exactly the rolled-out keyframes, so global id =
+    # count_save + local index (the reference spills at the edge-window
+    # boundary instead and subtracts min(ii), depth_video.py:386-424 —
+    # same mapping, different spill point)
+    local_to_global_bias = video.count_save
     tracker.local_to_global_bias = local_to_global_bias
     global_kf_id = valid_localkf + local_to_global_bias
 
