@@ -51,8 +51,8 @@ def run(cfg, save_dir, max_frames=None, on_frame=None):
     if cfg.get("mode") == "vio":
         from ..tracker.vio import InertialFusion
         imu = dataset.preload_imu()
-        tracker.frontend.inertial = InertialFusion(
-            tracker.video, cfg, imu, np.asarray(cfg["frontend"]["c2i"]))
+        tracker.frontend.attach_inertial(InertialFusion(
+            tracker.video, cfg, imu, np.asarray(cfg["frontend"]["c2i"])))
 
     timer = StageTimer()
     n = len(dataset) if max_frames is None else min(len(dataset),

@@ -25,9 +25,9 @@ def run(cfg, save_dir, max_frames=None):
                       weights_path=cfg["frontend"].get("weight"))
     if cfg.get("mode") == "vio":
         from ..tracker.vio import InertialFusion
-        tracker.frontend.inertial = InertialFusion(
+        tracker.frontend.attach_inertial(InertialFusion(
             tracker.video, cfg, dataset.preload_imu(),
-            np.asarray(cfg["frontend"]["c2i"]))
+            np.asarray(cfg["frontend"]["c2i"])))
 
     dump_dir = os.path.join(save_dir, "vizout_dict")
     if cfg.get("debug_mode"):

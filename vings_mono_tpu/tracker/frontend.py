@@ -51,8 +51,12 @@ class Frontend:
         self.rollup_n = int(fe.get("rollup_n", 30))
         self.new_frame_added = False
         self.did_rollup = False
-        # hook for the VIO fusion layer (set by tracker/vio.py)
+        # hook for the VIO fusion layer (set via attach_inertial)
         self.inertial = None
+
+    def attach_inertial(self, inertial):
+        self.inertial = inertial
+        self.graph.inertial = inertial
 
     # ------------------------------------------------------------------
     def __call__(self):

@@ -97,12 +97,14 @@ def _store_inactive_kernel(inac: InactiveStore, edges: EdgeStore,
         weight=inac.weight.at[idx].set(edges.weight[e_slots], mode="drop"))
 
 
-@functools.partial(jax.jit, static_argnames=("w_ba", "iters", "update_apply"))
+@functools.partial(jax.jit, static_argnames=("w_ba", "iters", "update_apply",
+                                             "do_ba"))
 def _fused_update(params, update_apply, bufs: VideoBuffers,
                   edges: EdgeStore, inac: InactiveStore,
                   slots, ii, jj, valid,
                   inac_slots, inac_ii, inac_jj, inac_valid,
-                  base, t0, t1, flags, *, w_ba: int, iters: int):
+                  base, t0, t1, flags, *, w_ba: int, iters: int,
+                  do_ba: bool = True):
     """One GRU+BA update over the active graph (covisible_graph.py:214-352).
 
     slots/ii/jj/valid: fixed-cap active edge arrays (absolute window-buffer
@@ -203,6 +205,15 @@ def _fused_update(params, update_apply, bufs: VideoBuffers,
     tgt = jnp.moveaxis(all_target, -1, 1)        # (N, 2, h, w)
     wgt = jnp.moveaxis(all_weight, -1, 1)
 
+    if not do_ba:
+        # VIO path: hand the assembled BA inputs back; the inertial fusion
+        # layer solves poses on the host factor graph and retracts depths
+        # via ops.ba.ba_retract, then _finish_update writes back+upsamples
+        ba_inputs = (tgt, wgt, eta_ba, all_ii, all_jj, all_valid,
+                     poses_win, disps_win, dsens_win, intr_win,
+                     upmask[:w_ba], has_edge)
+        return bufs, edges, ba_inputs
+
     t0_rel = t0 - base
     poses_win, disps_win = ba_ops.ba_window(
         tgt, wgt, eta_ba, poses_win, disps_win, intr_win, all_ii, all_jj,
@@ -213,19 +224,31 @@ def _fused_update(params, update_apply, bufs: VideoBuffers,
     # the CUDA kernel; we re-pin after the solve)
     disps_win = jnp.where(dsens_win > 0, dsens_win, disps_win)
 
+    bufs = _writeback_window(bufs, base, poses_win, disps_win,
+                             upmask[:w_ba], has_edge, w_ba)
+    return bufs, edges
+
+
+def _writeback_window(bufs, base, poses_win, disps_win, upmask, has_edge,
+                      w_ba):
     bufs = bufs.replace(
         poses=jax.lax.dynamic_update_slice_in_dim(bufs.poses, poses_win,
                                                   base, axis=0),
         disps=jax.lax.dynamic_update_slice_in_dim(bufs.disps, disps_win,
                                                   base, axis=0))
-
-    # ---- convex upsampling of window disparities ----------------------
-    up = upsample_disp(disps_win, upmask[:w_ba])
+    up = upsample_disp(disps_win, upmask)
     up_old = jax.lax.dynamic_slice_in_dim(bufs.disps_up, base, w_ba)
     up = jnp.where(has_edge[:, None, None], up, up_old)
-    bufs = bufs.replace(disps_up=jax.lax.dynamic_update_slice_in_dim(
+    return bufs.replace(disps_up=jax.lax.dynamic_update_slice_in_dim(
         bufs.disps_up, up, base, axis=0))
-    return bufs, edges
+
+
+@functools.partial(jax.jit, static_argnames=("w_ba",))
+def _finish_update(bufs, base, poses_win, disps_win, dsens_win, upmask,
+                   has_edge, *, w_ba: int):
+    disps_win = jnp.where(dsens_win > 0, dsens_win, disps_win)
+    return _writeback_window(bufs, base, poses_win, disps_win, upmask,
+                             has_edge, w_ba)
 
 
 class CovisibleGraph:
@@ -420,7 +443,7 @@ class CovisibleGraph:
                              1.0 if self.video.visual_only_init else 0.0,
                              self.far_threshold, self.mask_threshold],
                             jnp.float32)
-        self.video.bufs, self.edges = _fused_update(
+        args = (
             self.params, self.update_apply, self.video.bufs, self.edges,
             self.inac,
             jnp.asarray(slots, jnp.int32), jnp.asarray(ii, jnp.int32),
@@ -428,8 +451,24 @@ class CovisibleGraph:
             jnp.asarray(in_slots, jnp.int32), jnp.asarray(in_ii, jnp.int32),
             jnp.asarray(in_jj, jnp.int32), jnp.asarray(in_valid),
             jnp.asarray(base, jnp.int32), jnp.asarray(t0, jnp.int32),
-            jnp.asarray(t1, jnp.int32), flags,
-            w_ba=self.w_ba, iters=iters)
+            jnp.asarray(t1, jnp.int32), flags)
+
+        inertial = getattr(self, "inertial", None)
+        if inertial is not None and self.video.imu_enabled:
+            # VIO: GRU on TPU, pose fusion on the host factor graph
+            self.video.bufs, self.edges, ba_in = _fused_update(
+                *args, w_ba=self.w_ba, iters=iters, do_ba=False)
+            (tgt, wgt, eta_ba, all_ii, all_jj, all_valid, poses_win,
+             disps_win, dsens_win, intr_win, upmask, has_edge) = ba_in
+            poses_win, disps_win = inertial.multi_sensor_ba(
+                tgt, wgt, eta_ba, all_ii, all_jj, all_valid, base, t1,
+                poses_win, disps_win, intr_win)
+            self.video.bufs = _finish_update(
+                self.video.bufs, jnp.asarray(base, jnp.int32), poses_win,
+                disps_win, dsens_win, upmask, has_edge, w_ba=self.w_ba)
+        else:
+            self.video.bufs, self.edges = _fused_update(
+                *args, w_ba=self.w_ba, iters=iters, do_ba=True)
         self.age += 1
 
     # ------------------------------------------------------------------
