@@ -15,10 +15,33 @@ per new keyframe (__update, reference :167-399):
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from .graph import CovisibleGraph
 from .video import DepthVideo
+
+
+@jax.jit
+def _seed_next_kernel(bufs, t1, init_flag):
+    """poses[t1] = poses[t1-1]; disps[t1] = mean of recent disps — one
+    compiled program with traced indices (per-frame python-int indexing
+    would recompile every frame)."""
+    prev = bufs.poses[t1 - 1]
+    win = jax.lax.dynamic_slice_in_dim(bufs.disps, jnp.maximum(t1 - 4, 0),
+                                       4, axis=0)
+    mean4 = jnp.mean(win)
+    mean1 = jnp.mean(bufs.disps[t1 - 1])
+    mean = jnp.where(init_flag, mean4, mean1)
+    return bufs.replace(poses=bufs.poses.at[t1].set(prev),
+                        disps=bufs.disps.at[t1].set(mean))
+
+
+@jax.jit
+def _disp_prior_kernel(bufs, ix):
+    new_disp = jnp.where(bufs.disps_sens[ix] > 0, bufs.disps_sens[ix],
+                         bufs.disps[ix])
+    return bufs.replace(disps=bufs.disps.at[ix].set(new_disp))
 
 
 class Frontend:
@@ -149,18 +172,10 @@ class Frontend:
             self.inertial.on_rollup(n)
 
     def _apply_disp_prior(self, ix):
-        b = self.video.bufs
-        new_disp = jnp.where(b.disps_sens[ix] > 0, b.disps_sens[ix],
-                             b.disps[ix])
-        self.video.bufs = b.replace(disps=b.disps.at[ix].set(new_disp))
+        self.video.bufs = _disp_prior_kernel(self.video.bufs,
+                                             jnp.asarray(ix, jnp.int32))
 
     def _seed_next(self, init=False):
-        b = self.video.bufs
-        t1 = self.t1
-        if init:
-            mean_disp = jnp.mean(b.disps[max(0, t1 - 4):t1])
-        else:
-            mean_disp = jnp.mean(b.disps[t1 - 1])
-        self.video.bufs = b.replace(
-            poses=b.poses.at[t1].set(b.poses[t1 - 1]),
-            disps=b.disps.at[t1].set(mean_disp))
+        self.video.bufs = _seed_next_kernel(
+            self.video.bufs, jnp.asarray(self.t1, jnp.int32),
+            jnp.asarray(init))

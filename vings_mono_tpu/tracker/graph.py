@@ -260,6 +260,7 @@ class CovisibleGraph:
         self.params = params
         fe = cfg["frontend"]
         self.max_factors = int(fe["max_factors"])
+        self.edge_batch = int(fe.get("edge_batch", 16))
         self.e_cap = int(fe.get("edge_capacity", 2 * self.max_factors))
         self.i_cap = int(fe.get("inactive_capacity", 4 * self.max_factors))
         self.w_ba = int(fe.get("ba_window", 34))
@@ -327,10 +328,23 @@ class CovisibleGraph:
             return
         slots = np.asarray([self.free_slots.pop(0) for _ in range(n_room)],
                            np.int64)
-        self.edges = _add_edges_kernel(
-            self.edges, self.video.bufs, jnp.asarray(slots, jnp.int32),
-            jnp.asarray(ii, jnp.int32), jnp.asarray(jj, jnp.int32),
-            jnp.ones((n_room,), bool))
+        # pad to a fixed batch size so the kernel compiles once
+        B = self.edge_batch
+        for s0 in range(0, n_room, B):
+            n = min(B, n_room - s0)
+            pad_slots = np.zeros(B, np.int64)
+            pad_ii = np.zeros(B, np.int64)
+            pad_jj = np.zeros(B, np.int64)
+            pad_valid = np.zeros(B, bool)
+            pad_slots[:n] = slots[s0:s0 + n]
+            pad_ii[:n] = ii[s0:s0 + n]
+            pad_jj[:n] = jj[s0:s0 + n]
+            pad_valid[:n] = True
+            self.edges = _add_edges_kernel(
+                self.edges, self.video.bufs,
+                jnp.asarray(pad_slots, jnp.int32),
+                jnp.asarray(pad_ii, jnp.int32),
+                jnp.asarray(pad_jj, jnp.int32), jnp.asarray(pad_valid))
         self.ii = np.concatenate([self.ii, ii])
         self.jj = np.concatenate([self.jj, jj])
         self.age = np.concatenate([self.age, np.zeros(len(ii), np.int64)])
@@ -346,12 +360,19 @@ class CovisibleGraph:
             n_room = min(n, len(self.free_inac))
             i_slots = np.asarray([self.free_inac.pop(0)
                                   for _ in range(n_room)], np.int64)
-            if n_room > 0:
+            B = self.edge_batch
+            for s0 in range(0, n_room, B):
+                nn = min(B, n_room - s0)
+                pe = np.zeros(B, np.int64)
+                pi = np.zeros(B, np.int64)
+                pv = np.zeros(B, bool)
+                pe[:nn] = e_slots[s0:s0 + nn]
+                pi[:nn] = i_slots[s0:s0 + nn]
+                pv[:nn] = True
                 self.inac = _store_inactive_kernel(
-                    self.inac, self.edges,
-                    jnp.asarray(e_slots[:n_room], jnp.int32),
-                    jnp.asarray(i_slots, jnp.int32),
-                    jnp.ones((n_room,), bool))
+                    self.inac, self.edges, jnp.asarray(pe, jnp.int32),
+                    jnp.asarray(pi, jnp.int32), jnp.asarray(pv))
+            if n_room > 0:
                 self.ii_inac = np.concatenate([self.ii_inac,
                                                self.ii[mask][:n_room]])
                 self.jj_inac = np.concatenate([self.jj_inac,

@@ -195,12 +195,22 @@ class DepthVideo:
                           jnp.asarray(jj, jnp.int32))
 
     def distance(self, ii, jj, beta=0.3, bidirectional=False):
-        ii = jnp.asarray(ii, jnp.int32)
-        jj = jnp.asarray(jj, jnp.int32)
-        d = _distance(self.bufs, ii, jj, jnp.float32(beta))
+        """Pads the query to power-of-two buckets so XLA compiles a handful
+        of shapes instead of one per frame."""
+        ii = np.asarray(ii, np.int64).reshape(-1)
+        jj = np.asarray(jj, np.int64).reshape(-1)
+        n = len(ii)
+        cap = max(8, 1 << (n - 1).bit_length())
+        pi = np.zeros(cap, np.int64)
+        pj = np.zeros(cap, np.int64)
+        pi[:n] = ii
+        pj[:n] = jj
+        di = jnp.asarray(pi, jnp.int32)
+        dj = jnp.asarray(pj, jnp.int32)
+        d = _distance(self.bufs, di, dj, jnp.float32(beta))
         if bidirectional:
-            d = 0.5 * (d + _distance(self.bufs, jj, ii, jnp.float32(beta)))
-        return d
+            d = 0.5 * (d + _distance(self.bufs, dj, di, jnp.float32(beta)))
+        return np.asarray(jax.device_get(d))[:n]
 
     def c2w_matrices(self, upto=None):
         n = self.counter if upto is None else upto

@@ -71,6 +71,7 @@ class InertialFusion:
         self.last_t1 = 0
         self.cur_ii = np.zeros(0, np.int64)
         self.cur_jj = np.zeros(0, np.int64)
+        self.cur_valid = np.zeros(0, bool)
         self.cur_target = None
         self.cur_weight = None
 
@@ -181,6 +182,8 @@ class InertialFusion:
         self.last_t1 = max(0, self.last_t1 - n)
         self.cur_ii = self.cur_ii - n
         self.cur_jj = self.cur_jj - n
+        if hasattr(self, "cur_base"):
+            self.cur_base = self.cur_base - n
         self.prior_factors = {k - n: v for k, v in
                               self.prior_factors.items()}
         for fs in self.prior_factors.values():
@@ -250,9 +253,12 @@ class InertialFusion:
                 all(t0 <= f < t1 for f in self.marg_prior.frames):
             static_factors = static_factors + [self.marg_prior]
 
-        # remember active edges for the next marginalization pass
-        self.cur_ii = ii_np[act] + base
-        self.cur_jj = jj_np[act] + base
+        # remember active edges for the next marginalization pass —
+        # kept PADDED (fixed shapes) so the marginalization ba_hessian
+        # compiles once
+        self.cur_ii = ii_np + base
+        self.cur_jj = jj_np + base
+        self.cur_valid = act
         self.cur_target = target
         self.cur_weight = weight
         self.cur_eta = eta
@@ -297,26 +303,30 @@ class InertialFusion:
         marg_frames = list(range(lo, hi))
         factors = []
         # vision factor over edges fully inside the marginalized band
-        m = ((self.cur_ii >= lo) & (self.cur_ii < hi)
+        m = (self.cur_valid & (self.cur_ii >= lo) & (self.cur_ii < hi)
              & (self.cur_ii < self.last_t1 - 2)
              & (self.cur_jj < self.last_t1 - 2))
         if m.sum() > 0 and self.cur_target is not None:
+            import jax
             import jax.numpy as jnp
             from ..ops import ba as ba_ops
             marg_t1 = int(self.cur_jj[m].max()) + 1
-            sel = jnp.asarray(np.where(m)[0], jnp.int32)
+            w_ba = self.cur_eta.shape[0]
+            base = self.cur_base
+            poses_win = jax.lax.dynamic_slice_in_dim(
+                self.video.bufs.poses, base, w_ba)
+            disps_win = jax.lax.dynamic_slice_in_dim(
+                self.video.bufs.disps, base, w_ba)
+            intr_win = jax.lax.dynamic_slice_in_dim(
+                self.video.bufs.intrinsics, base, w_ba)
             S, v, _ = ba_ops.ba_hessian(
-                self.cur_target[sel], self.cur_weight[sel],
-                self.cur_eta, jnp.asarray(
-                    self.video.bufs.poses[self.cur_base:self.cur_base
-                                          + self.cur_eta.shape[0]]),
-                self.video.bufs.disps[self.cur_base:self.cur_base
-                                      + self.cur_eta.shape[0]],
-                self.video.bufs.intrinsics[self.cur_base:self.cur_base
-                                           + self.cur_eta.shape[0]],
-                jnp.asarray(self.cur_ii[m] - self.cur_base, jnp.int32),
-                jnp.asarray(self.cur_jj[m] - self.cur_base, jnp.int32),
-                jnp.ones(int(m.sum()), bool), fixedp=0)
+                self.cur_target, self.cur_weight, self.cur_eta,
+                poses_win, disps_win, intr_win,
+                jnp.asarray(np.clip(self.cur_ii - base, 0, w_ba - 1),
+                            jnp.int32),
+                jnp.asarray(np.clip(self.cur_jj - base, 0, w_ba - 1),
+                            jnp.int32),
+                jnp.asarray(m), fixedp=0)
             lo_r = lo - self.cur_base
             hi_r = marg_t1 - self.cur_base
             S_np = np.array(np.asarray(S)[lo_r:hi_r, lo_r:hi_r])
