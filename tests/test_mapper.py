@@ -69,3 +69,21 @@ def test_mapper_ckpt_roundtrip(tmp_path, trained):
     m2.load_ckpt(str(p))
     assert m2.n_alive == mapper.n_alive
     assert m2.time_idx == mapper.time_idx
+
+
+def test_mapper_with_sky():
+    """use_sky path: separate sky sphere trains jointly and composites
+    behind the map (sky_utils.py semantics)."""
+    rng = np.random.default_rng(5)
+    viz_out, _ = make_viz_out(rng, n_kf=3)
+    # black out a corner to create "sky" pixels
+    viz_out["images"][:, :8, :8, :] = 0.0
+    viz_out["depths"][:, :8, :8, :] = 0.0
+    cfg = small_cfg()
+    cfg["use_sky"] = True
+    cfg["mapper"]["sky_capacity"] = 1024
+    mapper = GaussianMapper(cfg)
+    mapper.run(viz_out)
+    assert mapper.sky is not None
+    assert int(mapper.sky.state.n_alive()) > 0
+    assert np.isfinite(mapper.last_metrics["total"])

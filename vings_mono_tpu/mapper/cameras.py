@@ -72,5 +72,7 @@ def depth_to_normal(depth, camera: Camera):
     l2r = p[1:-1, 2:, :] - p[1:-1, :-2, :]
     b2t = p[:-2, 1:-1, :] - p[2:, 1:-1, :]
     n = jnp.cross(l2r, b2t)
-    n = n / jnp.clip(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-8)
+    # smooth normalization — linalg.norm has NaN gradients at exact zeros
+    # (empty regions render depth 0 -> zero cross products)
+    n = n * jax.lax.rsqrt(jnp.sum(n * n, axis=-1, keepdims=True) + 1e-12)
     return jnp.pad(n, ((1, 1), (1, 1), (0, 0)))

@@ -32,7 +32,7 @@ def weighted_masked_l1(pred, gt, mask, weight):
 
 
 def mapper_loss(pred, gt_rgb, gt_depth, gt_depth_cov, camera: Camera,
-                weights=None, w2c=None):
+                weights=None, w2c=None, sky_rgb=None):
     """pred: render() dict (camera-frame normals); gt_rgb (3,H,W) in [0,1],
     gt_depth/cov (1,H,W). Returns (total, metrics dict).
 
@@ -44,8 +44,15 @@ def mapper_loss(pred, gt_rgb, gt_depth, gt_depth_cov, camera: Camera,
     sky = jnp.sum(gt_rgb, axis=0) == 0.0          # (H, W)
     valid = (~sky) & (gt_depth[0] > 0.0)
 
-    l1 = masked_l1(pred["rgb"], gt_rgb, valid)
-    ssim_val = ssim(pred["rgb"], gt_rgb, valid)
+    if sky_rgb is not None:
+        # sky mode: full-image photometric loss against the sky-inclusive
+        # ground truth (loss_utils.py:122-124)
+        ones = jnp.ones_like(valid)
+        l1 = masked_l1(pred["rgb"], sky_rgb, ones)
+        ssim_val = ssim(pred["rgb"], sky_rgb, ones)
+    else:
+        l1 = masked_l1(pred["rgb"], gt_rgb, valid)
+        ssim_val = ssim(pred["rgb"], gt_rgb, valid)
     rgb_loss = 0.8 * l1 + 0.2 * (1.0 - ssim_val)
 
     # normal consistency: rendered normal vs normals from the rendered depth

@@ -44,6 +44,12 @@ class GaussianMapper:
              ("interpret", bool(m.get("interpret", False))))
         self.state = empty_state(self.capacity)
         self.opt = adam_init(self.state)
+        self.use_sky = bool(cfg.get("use_sky"))
+        self.sky = None
+        if self.use_sky:
+            from .sky import SkyModel
+            self.sky = SkyModel(cfg, capacity=int(m.get("sky_capacity",
+                                                        1 << 15)))
         self.history = []          # timestamps already mapped
         self.time_idx = 0
         self.initialized = False
@@ -116,6 +122,10 @@ class GaussianMapper:
                     batch.global_kf_id[i], height=self.H, width=self.W,
                     n_points=int(mcfg["points_first_frame"]), first=True,
                     render_kwargs=self.render_kwargs)
+                if self.use_sky:
+                    self.sky.add_frame(batch.w2cs[i], intr4,
+                                       batch.images[i], self._next_key(),
+                                       self.H, self.W)
             self.initialized = True
         else:
             new_id = self._judge_new_frame(viz_out)
@@ -131,15 +141,28 @@ class GaussianMapper:
                 n_points=int(mcfg["points_per_frame"]), first=False,
                 accum_thresh=float(self.cfg["adc_args"]["accum_thresh"]),
                 render_kwargs=self.render_kwargs)
+            if self.use_sky:
+                self.sky.add_frame(batch.w2cs[new_id], intr4,
+                                   batch.images[new_id], self._next_key(),
+                                   self.H, self.W)
 
         binned = bin_stack(self.state, batch, intr4, self.H, self.W,
                            **self.bin_kwargs)
         lrs = self._lrs(ta)
-        self.state, self.opt, metrics = train_loop(
+        sky_kwargs = {}
+        if self.use_sky:
+            sky_images = viz_out.get("sky_images")
+            sky_images = batch.images if sky_images is None else \
+                jnp.moveaxis(jnp.asarray(sky_images, jnp.float32), -1, 1)
+            sky_kwargs = dict(use_sky=True, sky_state=self.sky.state,
+                              sky_opt=self.sky.opt, sky_images=sky_images)
+        self.state, self.opt, sky_state, sky_opt, metrics = train_loop(
             self.state, self.opt, batch, binned, intr4, self._next_key(),
             iters=int(ta["iters"]), height=self.H, width=self.W,
             weights=ta["loss_weights"], lrs=lrs,
-            render_kwargs=self.render_kwargs)
+            render_kwargs=self.render_kwargs, **sky_kwargs)
+        if self.use_sky:
+            self.sky.state, self.sky.opt = sky_state, sky_opt
         self.last_metrics = {k: float(v) for k, v in metrics.items()}
 
         self.time_idx += 1

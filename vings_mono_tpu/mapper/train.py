@@ -57,35 +57,57 @@ def bin_stack(state: GaussianState, batch: KeyframeBatch, intr4, height,
 
 
 @functools.partial(jax.jit, static_argnames=("iters", "height", "width",
-                                             "render_kwargs"))
+                                             "render_kwargs", "use_sky"))
 def train_loop(state: GaussianState, opt: SparseAdamState,
                batch: KeyframeBatch, binned_stack, intr4, key, *,
                iters: int, height: int, width: int, weights=None,
-               lrs=None, render_kwargs=()):
+               lrs=None, render_kwargs=(), use_sky: bool = False,
+               sky_state=None, sky_opt=None, sky_images=None):
     rkw = dict(render_kwargs)
 
-    def loss_fn(params, carrier, camera, kf):
+    def loss_fn(params, sky_params, carrier, camera, kf):
         rets = render(params["xyz"], params["log_scale"], params["quat"],
                       params["logit_opacity"], params["rgb"], camera,
                       alive=state.alive, score_carrier=carrier,
                       binned=_select_kf(binned_stack, kf), **rkw)
+        sky_rgb_gt = None
+        sky_visible = None
+        if use_sky:
+            from .sky import SPHERE_RADIUS
+            # smooth normalization: linalg.norm has NaN grads at the
+            # all-zero rows of dead slots
+            nrm = jnp.sqrt(jnp.sum(sky_params["xyz"] ** 2, axis=-1,
+                                   keepdims=True) + 1e-12)
+            sxyz = sky_params["xyz"] / nrm * SPHERE_RADIUS
+            srets = render(sxyz,
+                           sky_params["log_scale"] + jnp.log(SPHERE_RADIUS),
+                           sky_params["quat"],
+                           sky_params["logit_opacity"], sky_params["rgb"],
+                           camera, alive=sky_state.alive, **rkw)
+            rets = dict(rets)
+            rets["rgb"] = rets["rgb"] + (1.0 - rets["accum"]) * srets["rgb"]
+            sky_rgb_gt = sky_images[kf]
+            sky_visible = srets["visible"]
         total, metrics = mapper_loss(rets, batch.images[kf],
                                      batch.depths[kf], batch.depths_cov[kf],
-                                     camera, weights)
+                                     camera, weights, sky_rgb=sky_rgb_gt)
         metrics["psnr"] = psnr(rets["rgb"], batch.images[kf],
                                batch.depths[kf][0] > 0)
-        return total, (metrics, rets["visible"])
+        return total, (metrics, rets["visible"], sky_visible)
 
-    grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)
+    grad_fn = jax.value_and_grad(loss_fn, argnums=(0, 1, 2), has_aux=True)
 
     def body(it, carry):
-        st, op, k, _ = carry
+        st, op, sst, sop, k, _ = carry
         k, k1 = jax.random.split(k)
         kf = jax.random.randint(k1, (), 0, jnp.maximum(batch.n_valid, 1))
         camera = make_camera(batch.w2cs[kf], intr4, height, width)
         carrier = jnp.zeros((st.capacity, 2), jnp.float32)
-        (_, (metrics, visible)), (gp, cur) = grad_fn(st.params(), carrier,
-                                                     camera, kf)
+        sky_params = sst.params() if use_sky else {
+            k2: jnp.zeros((1,) + v.shape[1:]) for k2, v in
+            st.params().items()}
+        (_, (metrics, visible, sky_vis)), (gp, gs, cur) = grad_fn(
+            st.params(), sky_params, carrier, camera, kf)
         cur0, cur1 = cur[:, 0], cur[:, 1]
 
         # score bookkeeping (add_records, gaussian_model.py:163-169 +
@@ -97,22 +119,32 @@ def train_loop(state: GaussianState, opt: SparseAdamState,
         gmax = jnp.where(replace, cur0, st.globalkf_max_scores)
         gid = jnp.where(replace, batch.global_kf_id[kf], st.globalkf_id)
 
-        # anti-forgetting gradient weighting (gaussian_utils.py:56-62)
-        wgt = (cur0 / (glob[:, 0] + 1e-6 + cur0))[:, None]
+        # anti-forgetting gradient weighting (gaussian_utils.py:56-62);
+        # falls back to 1 when no scores flow (naive render path)
+        wgt = jnp.where(cur0 + glob[:, 0] > 0.0,
+                        cur0 / (glob[:, 0] + 1e-6 + cur0), 1.0)[:, None]
         gp = {k2: g * wgt for k2, g in gp.items()}
 
         step_mask = visible & st.alive & (~st.stable)
         st = st.replace(local_scores=local, global_scores=glob,
                         globalkf_max_scores=gmax, globalkf_id=gid)
         st, op = sparse_adam_step(st, gp, op, step_mask, lrs)
-        return st, op, k, metrics
+        if use_sky:
+            sky_mask = sky_vis & sst.alive
+            sst, sop = sparse_adam_step(sst, gs, sop, sky_mask, lrs)
+        return st, op, sst, sop, k, metrics
 
     zero_metrics = {k: jnp.zeros(()) for k in
                     ["rgb", "l1", "ssim", "normal", "alpha", "depth",
                      "dist", "total", "psnr"]}
-    state, opt, _, metrics = jax.lax.fori_loop(
-        0, iters, body, (state, opt, key, zero_metrics))
-    return state, opt, metrics
+    if sky_state is None:
+        from .state import empty_state, adam_init
+        sky_state = empty_state(8)
+        sky_opt = adam_init(sky_state)
+    state, opt, sky_state, sky_opt, _, metrics = jax.lax.fori_loop(
+        0, iters, body, (state, opt, sky_state, sky_opt, key,
+                         zero_metrics))
+    return state, opt, sky_state, sky_opt, metrics
 
 
 @jax.jit
