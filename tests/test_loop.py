@@ -1,0 +1,132 @@
+"""Loop-closure components: matcher, PnP, per-edge-scale pose rectification,
+Gaussian re-anchoring, and candidate policy."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from vings_mono_tpu.loop.rectify import (rectify_poses, rectify_gaussians,
+                                         _transform_gaussians)
+from vings_mono_tpu.loop.loop_model import LoopModel
+from vings_mono_tpu.loop.detect import LoopDetector
+from vings_mono_tpu.models.superpoint import mutual_nearest_match
+from vings_mono_tpu.tracker.imu import so3_exp
+from vings_mono_tpu.utils.config import load_config
+
+
+def test_mutual_nearest_match_identity():
+    rng = np.random.default_rng(0)
+    d = rng.normal(size=(64, 32)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    perm = rng.permutation(64)
+    idx, ok = mutual_nearest_match(jnp.asarray(d), jnp.asarray(d[perm]),
+                                   jnp.ones(64, bool), jnp.ones(64, bool))
+    inv = np.argsort(perm)
+    np.testing.assert_array_equal(np.asarray(idx)[ok], inv[np.asarray(ok)])
+    assert np.asarray(ok).sum() > 60
+
+
+def test_pnp_recovers_pose():
+    cv2 = pytest.importorskip("cv2")
+    rng = np.random.default_rng(1)
+    det = LoopDetector.__new__(LoopDetector)   # no model needed for pnp
+    # ground-truth history camera
+    phi = rng.normal(size=3) * 0.1
+    R = so3_exp(phi)
+    t = rng.normal(size=3)
+    hist_c2w = np.eye(4)
+    hist_c2w[:3, :3], hist_c2w[:3, 3] = R, t
+    w2c = np.linalg.inv(hist_c2w)
+    fx = fy = 100.0
+    cx = cy = 64.0
+    # world points visible from both cameras
+    pts_w = rng.uniform(-2, 2, size=(80, 3))
+    pts_w[:, 2] += 8.0
+    pc = pts_w @ w2c[:3, :3].T + w2c[:3, 3]
+    kp_hist = np.stack([fx * pc[:, 0] / pc[:, 2] + cx,
+                        fy * pc[:, 1] / pc[:, 2] + cy], -1)
+    # current camera at identity; its depth map gives the world points
+    cur_c2w = np.eye(4)
+    kp_cur = np.stack([fx * pts_w[:, 0] / pts_w[:, 2] + cx,
+                       fy * pts_w[:, 1] / pts_w[:, 2] + cy], -1)
+    depth = np.zeros((128, 128), np.float32)
+    u = np.clip(kp_cur[:, 0].astype(int), 0, 127)
+    v = np.clip(kp_cur[:, 1].astype(int), 0, 127)
+    # use exact keypoint depths (integer-pixel depth lookup is approximate;
+    # seed every pixel row for robustness)
+    depth[v, u] = pts_w[:, 2]
+    kp_cur_int = np.stack([u, v], -1).astype(np.float64)
+    rec = det.pnp_history_pose(kp_cur_int, kp_hist, depth, cur_c2w,
+                               (fx, fy, cx, cy))
+    assert rec is not None
+    # integer-pixel quantization limits accuracy; decimeter-level is fine
+    assert np.linalg.norm(rec[:3, 3] - hist_c2w[:3, 3]) < 0.3
+
+
+def test_rectify_poses_closes_loop():
+    # square trajectory with accumulated drift
+    n = 21
+    c2ws = np.tile(np.eye(4), (n, 1, 1))
+    for i in range(1, n):
+        c2ws[i] = c2ws[i - 1].copy()
+        c2ws[i][:3, 3] += np.array([1.0, 0, 0])
+    drift = np.linspace(0, 1.5, n)
+    c2ws[:, 1, 3] += drift          # y drift grows along the chain
+    target = c2ws[-1].copy()
+    target[1, 3] -= 1.5             # true endpoint has no drift
+    fixed = rectify_poses(c2ws, 0, n - 1, target)
+    # endpoint matches the target, start untouched
+    np.testing.assert_allclose(fixed[-1][:3, 3], target[:3, 3], atol=0.05)
+    np.testing.assert_allclose(fixed[0], c2ws[0], atol=1e-9)
+    # correction is distributed (middle frames moved but less than the end)
+    mid_shift = np.linalg.norm(fixed[n // 2][:3, 3] - c2ws[n // 2][:3, 3])
+    assert 0.01 < mid_shift < 1.5
+
+
+def test_transform_gaussians_rigid():
+    rng = np.random.default_rng(2)
+    xyz = jnp.asarray(rng.normal(size=(32, 3)), jnp.float32)
+    quat = jnp.asarray(rng.normal(size=(32, 4)), jnp.float32)
+    gid = jnp.zeros(32, jnp.int32)
+    old = jnp.eye(4)[None]
+    T = np.eye(4)
+    T[:3, :3] = so3_exp(np.array([0, 0, 0.4]))
+    T[:3, 3] = [1.0, -2.0, 0.5]
+    new = jnp.asarray(T, jnp.float32)[None]
+    xyz2, quat2 = _transform_gaussians(xyz, quat, gid, old, new)
+    expect = np.asarray(xyz) @ T[:3, :3].T + T[:3, 3]
+    np.testing.assert_allclose(np.asarray(xyz2), expect, atol=1e-5)
+    # rotations compose: the normal axis rotates by T's rotation
+    from vings_mono_tpu.ops import quat_wxyz
+    n_old = np.asarray(quat_wxyz.to_matrix(
+        quat_wxyz.normalize(quat)))[:, :, 2]
+    n_new = np.asarray(quat_wxyz.to_matrix(
+        quat_wxyz.normalize(quat2)))[:, :, 2]
+    np.testing.assert_allclose(n_new, n_old @ T[:3, :3].T, atol=1e-4)
+
+
+def test_candidate_policy():
+    cfg = load_config()
+    lm = LoopModel.__new__(LoopModel)
+    lm.cfg = cfg
+    lm.min_history = 35
+    lm.min_gap = 20
+    lm.search_radius = 10.0
+    lm.nms = 5
+    lm.closed_at = []
+    assert not lm.accept_candidate(30, 0)      # history too short
+    assert lm.accept_candidate(50, 5)
+    assert not lm.accept_candidate(50, 30)     # too recent
+    lm.closed_at.append(45)
+    assert not lm.accept_candidate(50, 5)      # just closed nearby
+
+    # candidate search: a revisit point close in space, far in index
+    n = 60
+    c2ws = np.tile(np.eye(4), (n, 1, 1))
+    for i in range(n):
+        ang = 2 * np.pi * i / 50
+        c2ws[i][:3, 3] = [10 * np.sin(ang), 10 * (1 - np.cos(ang)), 0]
+    lm.closed_at = []
+    cands = lm.find_candidates(c2ws, 50)       # full circle -> near start
+    assert len(cands) >= 1
+    assert cands[0] < 10

@@ -73,3 +73,18 @@ def test_tracking_then_mapping_replay(tmp_path):
     os.makedirs(os.path.join(mdir, "ply"), exist_ok=True)
     mapper = run_mapping(cfg2, mdir)
     assert mapper.n_alive > 50
+
+
+def test_pipeline_with_vis_and_storage(tmp_path):
+    cfg = make_cfg(tmp_path)
+    cfg["use_vis"] = True
+    cfg["use_storage_manager"] = True
+    cfg["storage_manager"] = {"distance_threshold": 60.0, "every": 5}
+    save_dir = str(tmp_path / "visrun")
+    os.makedirs(os.path.join(save_dir, "ply"), exist_ok=True)
+    tracker, mapper, timer = run_pipeline(cfg, save_dir)
+    panels = os.listdir(os.path.join(save_dir, "rgbdnua"))
+    assert len(panels) >= 2
+    assert os.path.exists(os.path.join(save_dir, "map"))
+    maps = os.listdir(os.path.join(save_dir, "map"))
+    assert len(maps) >= 1

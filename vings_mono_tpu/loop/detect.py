@@ -1,0 +1,129 @@
+"""Loop detection — rebuild of LoopDetector
+(/root/reference/scripts/loop/loop_detect.py): SuperPoint features on
+512-wide grayscale crops, descriptor matching (mutual-NN backend standing in
+for LightGlue until converted weights are supplied), PnP from the current
+frame's keypoints + depths to recover the history pose, then render-based
+verification against the history image."""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..models.superpoint import (SuperPoint, load_superpoint, nms_keypoints,
+                                 sample_descriptors, mutual_nearest_match)
+
+try:
+    import cv2
+except Exception:  # pragma: no cover
+    cv2 = None
+
+
+class LoopDetector:
+    def __init__(self, cfg, sp_params_path=None, max_kp=512):
+        self.cfg = cfg
+        self.model, self.params = load_superpoint(sp_params_path)
+        self.max_kp = max_kp
+        self._extract = jax.jit(self._extract_impl,
+                                static_argnames=("hh", "ww"))
+
+    # ------------------------------------------------------------------
+    def _extract_impl(self, gray, hh, ww):
+        heat, desc_map = self.model.apply(self.params, gray[None, ..., None])
+        xy, score, valid = nms_keypoints(heat[0], self.max_kp)
+        desc = sample_descriptors(xy, desc_map[0], (hh, ww))
+        return xy, score, valid, desc
+
+    def extract(self, rgb):
+        """rgb (H, W, 3) float [0,1] -> keypoints in (possibly resized)
+        pixel coords of the ORIGINAL image + descriptors."""
+        H, W = rgb.shape[:2]
+        scale = 512.0 / W
+        hh = int(round(H * scale / 8)) * 8
+        ww = 512
+        gray = np.asarray(rgb) @ np.asarray([0.299, 0.587, 0.114])
+        if cv2 is not None:
+            gray_r = cv2.resize(gray.astype(np.float32), (ww, hh))
+        else:
+            gray_r = gray[:hh, :ww].astype(np.float32)
+        xy, score, valid, desc = self._extract(jnp.asarray(gray_r), hh=hh,
+                                               ww=ww)
+        xy = np.asarray(xy) * np.asarray([W / ww, H / hh])
+        return xy, np.asarray(score), np.asarray(valid), np.asarray(desc)
+
+    def match(self, feat_a, feat_b):
+        xy_a, _, va, da = feat_a
+        xy_b, _, vb, db = feat_b
+        idx, ok = mutual_nearest_match(jnp.asarray(da), jnp.asarray(db),
+                                       jnp.asarray(va), jnp.asarray(vb))
+        idx = np.asarray(idx)
+        ok = np.asarray(ok)
+        return xy_a[ok], xy_b[idx[ok]]
+
+    # ------------------------------------------------------------------
+    def pnp_history_pose(self, kp_cur, kp_hist, depth_cur, cur_c2w, intr4):
+        """World points from the current frame's keypoints+depth, solved
+        against the history frame's 2D keypoints (loop_detect.py:66-95).
+        Returns history c2w or None."""
+        if cv2 is None or len(kp_cur) < 12:
+            return None
+        fx, fy, cx, cy = [float(v) for v in intr4]
+        H, W = depth_cur.shape
+        u = np.clip(kp_cur[:, 0].astype(int), 0, W - 1)
+        v = np.clip(kp_cur[:, 1].astype(int), 0, H - 1)
+        z = np.asarray(depth_cur)[v, u]
+        good = (z > 0.1) & (z < 100.0)
+        if good.sum() < 12:
+            return None
+        x = (kp_cur[good, 0] - cx) / fx * z[good]
+        y = (kp_cur[good, 1] - cy) / fy * z[good]
+        pts_cam = np.stack([x, y, z[good]], -1)
+        pts_w = pts_cam @ np.asarray(cur_c2w)[:3, :3].T + \
+            np.asarray(cur_c2w)[:3, 3]
+        K = np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], np.float64)
+        okf, rvec, tvec, inl = cv2.solvePnPRansac(
+            pts_w.astype(np.float64),
+            kp_hist[good].astype(np.float64).reshape(-1, 1, 2), K, None,
+            reprojectionError=4.0, iterationsCount=100)
+        if not okf or inl is None or len(inl) < 10:
+            return None
+        R, _ = cv2.Rodrigues(rvec)
+        w2c = np.eye(4)
+        w2c[:3, :3] = R
+        w2c[:3, 3] = tvec[:, 0]
+        return np.linalg.inv(w2c)
+
+    # ------------------------------------------------------------------
+    def detect(self, mapper, cur_img, cur_depth, cur_c2w, hist_img,
+               hist_c2w_guess, intr, min_matches=40,
+               sanity_dist=15.0, verify_thresh=0.15):
+        """Full detect pipeline; returns rectified history c2w or None."""
+        feat_cur = self.extract(cur_img)
+        feat_hist = self.extract(hist_img)
+        kp_c, kp_h = self.match(feat_cur, feat_hist)
+        if len(kp_c) < min_matches:
+            return None
+        intr4 = np.asarray([intr["fv"], intr["fu"], intr["cv"],
+                            intr["cu"]])
+        new_c2w = self.pnp_history_pose(kp_c, kp_h, cur_depth, cur_c2w,
+                                        intr4)
+        if new_c2w is None:
+            return None
+        if np.linalg.norm(new_c2w[:3, 3]
+                          - np.asarray(hist_c2w_guess)[:3, 3]) \
+                > sanity_dist:
+            return None
+        # render-verify (loop_detect.py:120-193): the map seen from the
+        # recovered pose must photometrically match the history image
+        rets = mapper.render_at(np.linalg.inv(new_c2w), intr)
+        acc = np.asarray(rets["accum"])[0]
+        dep = np.asarray(rets["depth"])[0]
+        m = (acc > 0.95) & (dep < 15.0)
+        if m.sum() < 500:
+            return None
+        pred = np.moveaxis(np.asarray(rets["rgb"]), 0, -1)
+        err = np.abs(pred - np.asarray(hist_img)).mean(-1)
+        if float(err[m].mean()) > verify_thresh:
+            return None
+        return new_c2w

@@ -1,0 +1,112 @@
+"""Loop-closure orchestration — rebuild of LoopModel
+(/root/reference/scripts/loop/loop_model.py): candidate search by 3D
+distance over the global keyframe history with NMS skipping, acceptance
+policy (enough history, no nested/too-recent loops), detect -> rectify ->
+re-anchor."""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..ops import lie
+from .detect import LoopDetector
+from .rectify import rectify_poses, rectify_gaussians, rectify_tracker
+
+
+class LoopModel:
+    def __init__(self, cfg, detector=None):
+        self.cfg = cfg
+        lcfg = cfg.get("looper", {})
+        self.detector = detector if detector is not None else \
+            LoopDetector(cfg, lcfg.get("superpoint_weights"))
+        self.min_history = int(lcfg.get("min_history", 35))
+        self.min_gap = int(lcfg.get("min_gap_from_last", 20))
+        self.search_radius = float(lcfg.get("search_radius", 10.0))
+        self.nms = int(lcfg.get("candidate_nms", 5))
+        self.closed_at = []          # global kf ids of accepted loops
+
+    # ------------------------------------------------------------------
+    def _history(self, tracker):
+        """Global keyframe (c2w, image) history: save buffers + live."""
+        n_save = tracker.video.count_save
+        c2ws, imgs = [], []
+        if n_save > 0:
+            w2c = jnp.asarray(tracker.video.poses_save[:n_save], jnp.float32)
+            c2ws.append(np.asarray(lie.se3_matrix(lie.se3_inv(w2c))))
+            imgs.append(tracker.video.images_save[:n_save])
+        n_live = tracker.video.counter
+        if n_live > 0:
+            c2ws.append(tracker.video.c2w_matrices())
+            imgs.append(np.asarray(tracker.video.bufs.images[:n_live]))
+        return np.concatenate(c2ws), np.concatenate(imgs)
+
+    def accept_candidate(self, cur_gid, cand_gid):
+        """Policy from loop_model.py:21-38: history long enough, candidate
+        far enough in time, no loop accepted too recently."""
+        if cur_gid < self.min_history:
+            return False
+        if cur_gid - cand_gid < self.min_history:
+            return False
+        for g in self.closed_at:
+            if abs(cur_gid - g) < self.min_gap:
+                return False
+        return True
+
+    def find_candidates(self, c2ws, cur_gid, k=3):
+        """Distance-ranked history candidates with index-NMS
+        (loop_model.py:40-69)."""
+        pos = c2ws[:cur_gid, :3, 3]
+        cur = c2ws[cur_gid, :3, 3]
+        d = np.linalg.norm(pos - cur, axis=-1)
+        order = np.argsort(d)
+        out = []
+        for i in order:
+            if d[i] > self.search_radius:
+                break
+            if not self.accept_candidate(cur_gid, i):
+                continue
+            if any(abs(int(i) - int(j)) < self.nms for j in out):
+                continue
+            out.append(int(i))
+            if len(out) >= k:
+                break
+        return out
+
+    # ------------------------------------------------------------------
+    def run(self, mapper, tracker, viz_out, frame_idx):
+        """Returns True if a loop was closed."""
+        if viz_out is None:
+            return False
+        cur_gid = int(np.asarray(viz_out["global_kf_id"])[-1])
+        c2ws, imgs = self._history(tracker)
+        if cur_gid >= len(c2ws):
+            return False
+        cands = self.find_candidates(c2ws, cur_gid)
+        if not cands:
+            return False
+
+        cur_img = np.asarray(viz_out["images"][-1])
+        cur_depth = np.asarray(viz_out["depths"][-1])[..., 0]
+        cur_c2w = np.asarray(viz_out["poses"][-1])
+        intr = viz_out["intrinsic"]
+
+        for cand in cands:
+            new_hist_c2w = self.detector.detect(
+                mapper, cur_img, cur_depth, cur_c2w, imgs[cand],
+                c2ws[cand], intr)
+            if new_hist_c2w is None:
+                continue
+            # correction: history pose is trusted; the drift accumulated
+            # between cand..cur is distributed by the per-edge scale PGO —
+            # the target for the current frame comes from the relative pose
+            # measured by PnP: T_cur_target = c2w_hist @ inv(new_hist) @ cur
+            corr = c2ws[cand] @ np.linalg.inv(new_hist_c2w)
+            target_cur = corr @ cur_c2w
+            old_c2ws = c2ws.copy()
+            new_c2ws = rectify_poses(c2ws, cand, cur_gid, target_cur)
+            rectify_gaussians(mapper, old_c2ws[:len(new_c2ws)], new_c2ws)
+            rectify_tracker(tracker, new_c2ws)
+            self.closed_at.append(cur_gid)
+            return True
+        return False

@@ -80,12 +80,37 @@ def run(cfg, save_dir, max_frames=None, on_frame=None):
                 == cfg["storage_manager"]["every"] - 1:
             with timer("storage"):
                 storage.run(tracker, mapper, viz_out)
+        if cfg.get("use_vis") and viz_out is not None:
+            with timer("vis"):
+                _save_vis(cfg, save_dir, tracker, mapper, storage, viz_out,
+                          kf_count)
         if on_frame is not None:
             on_frame(idx, tracker, mapper, viz_out)
 
     save_trajectory(tracker, save_dir)
     mapper.save_ply(os.path.join(save_dir, "ply", "final_2dgs.ply"))
     return tracker, mapper, timer
+
+
+def _save_vis(cfg, save_dir, tracker, mapper, storage, viz_out, kf_count):
+    import numpy as np
+    from ..utils.vis import save_rgbdnua, vis_map, vis_bev
+    from ..utils.trajectory import tracker_c2ws
+    kf = -1
+    w2c = np.linalg.inv(np.asarray(viz_out["poses"][kf]))
+    rets = mapper.render_at(w2c, viz_out["intrinsic"])
+    gt_rgb = np.moveaxis(np.asarray(viz_out["images"][kf]), -1, 0)
+    gt_depth = np.moveaxis(np.asarray(viz_out["depths"][kf]), -1, 0)
+    gt_cov = np.moveaxis(np.asarray(viz_out["depths_cov"][kf]), -1, 0)
+    ts = float(np.asarray(viz_out["viz_out_idx_to_f_idx"])[kf])
+    save_rgbdnua(save_dir, ts, rets, gt_rgb, gt_depth, gt_cov)
+    if kf_count % 10 == 0:
+        _, c2ws = tracker_c2ws(tracker)
+        vis_map(mapper, np.asarray(c2ws),
+                os.path.join(save_dir, "map", f"map_{kf_count:05d}.png"),
+                storage=storage)
+        vis_bev(mapper, np.asarray(viz_out["poses"][kf]),
+                os.path.join(save_dir, "bev", f"bev_{kf_count:05d}.png"))
 
 
 def main(argv=None):

@@ -48,7 +48,7 @@ class StorageManager:
         # distances of all historical keyframes to the current camera
         w2c_tq = jnp.asarray(tracker.video.poses_save[:last_gid],
                              jnp.float32)
-        c2ws = np.asarray(lie.se3_matrix(lie.se3_inv(w2c_tq)))
+        c2ws = np.array(np.asarray(lie.se3_matrix(lie.se3_inv(w2c_tq))))
         # live-window keyframes beyond the save buffer
         live = tracker.video.c2w_matrices()
         n_live = last_gid - tracker.video.count_save
