@@ -1,0 +1,67 @@
+"""Dynamic-object masking — rebuild of DynamicModel
+(/root/reference/scripts/dynamic/dynamic_utils.py): segments whose pixels
+overlap the top-10% render-error region by >= 20% are masked out of
+mapping.
+
+Backends for the segmenter:
+  * 'precomputed' — per-frame segment masks from disk (the reference itself
+    supports offline `sam_anns/*.pt`, dynamic_utils.py:54-61),
+  * 'cc' — cv2 connected components over the high-error region (a
+    weights-free stand-in for FastSAM's segment-everything),
+  * a flax YOLOv8-seg port is the planned 'flax' backend once converted
+    weights are supplied.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+
+try:
+    import cv2
+except Exception:  # pragma: no cover
+    cv2 = None
+
+
+class DynamicModel:
+    def __init__(self, cfg):
+        dcfg = cfg.get("dynamic", {})
+        self.backend = dcfg.get("backend", "cc")
+        self.err_quantile = float(dcfg.get("err_quantile", 0.9))
+        self.overlap = float(dcfg.get("overlap", 0.2))
+        self.ann_files = []
+        self.idx = 0
+        if self.backend == "precomputed":
+            root = dcfg.get("ann_root", "")
+            self.ann_files = sorted(glob.glob(os.path.join(root, "*.np*")))
+
+    def _segments(self, rgb, err_mask):
+        """Returns a list of boolean segment masks."""
+        if self.backend == "precomputed" and self.idx < len(self.ann_files):
+            z = np.load(self.ann_files[self.idx])
+            self.idx += 1
+            segs = z[z.files[0]] if hasattr(z, "files") else z
+            return [segs == k for k in np.unique(segs) if k > 0]
+        if cv2 is None:
+            return []
+        n, labels = cv2.connectedComponents(
+            err_mask.astype(np.uint8), connectivity=8)
+        return [labels == k for k in range(1, n)]
+
+    def get_dynamic_mask(self, gt_rgb, pred_rgb, pred_ssim=None):
+        """gt/pred (H, W, 3) in [0,1] -> bool (H, W) mask of dynamic pixels
+        (dynamic_utils.py:64-94: segments overlapping the top-decile
+        L1[xSSIM] error by >= 20%)."""
+        err = np.abs(np.asarray(gt_rgb) - np.asarray(pred_rgb)).mean(-1)
+        if pred_ssim is not None:
+            err = err * (1.0 - np.asarray(pred_ssim))
+        thresh = max(float(np.quantile(err, self.err_quantile)), 0.05)
+        hot = err >= thresh
+        mask = np.zeros_like(hot)
+        for seg in self._segments(gt_rgb, hot):
+            inter = (seg & hot).sum()
+            if seg.sum() > 0 and inter / seg.sum() >= self.overlap:
+                mask |= seg
+        return mask

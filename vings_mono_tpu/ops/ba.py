@@ -243,6 +243,40 @@ def ba_hessian(target, weight, eta, poses, disps, intrinsics, ii, jj,
     return S, v2, (E, Q, w)
 
 
+def depth_covariance(S, E, Q, disps, free_mask=None, ep=0.1, lm=1e-4):
+    """Per-pixel inverse-depth covariance after marginalizing poses —
+    rebuild of compute_covariances (/root/reference/scripts/frontend/
+    depth_video.py:676-726):
+
+      Sigma_z = Q + rowsum( (Q E^T L^-T)^2 ),   L = chol(S_damped)
+      depth_cov = Sigma_z / disps^4
+
+    S (P,P,6,6), E (P,M,6,HW), Q (M,HW) from schur_reduce/ba_hessian aux.
+    Returns (M, H, W) metric-depth covariance.
+    """
+    P = S.shape[0]
+    M, HW = Q.shape
+    A = jnp.transpose(S, (0, 2, 1, 3)).reshape(P * 6, P * 6)
+    eye = jnp.eye(P * 6, dtype=A.dtype)
+    if free_mask is not None:
+        m = free_mask.astype(A.dtype)
+        mm = jnp.repeat(m, 6)
+        A = A * mm[:, None] * mm[None, :] + jnp.diag(1.0 - mm)
+    A = A + (ep + lm * A) * eye
+    L, _ = jax.scipy.linalg.cho_factor(A, lower=True)
+    ok = jnp.all(jnp.isfinite(L))
+    L = jnp.where(ok, L, eye)
+    # F = (Q * E^T) L^{-T}: solve L^T X = (Q E^T)^T => X^T = Q E^T L^{-T}
+    QE = (E * Q[None, :, None, :])              # (P, M, 6, HW)
+    QE = jnp.transpose(QE, (0, 2, 1, 3)).reshape(P * 6, M * HW)
+    X = jax.scipy.linalg.solve_triangular(L, QE, lower=True)  # L^{-1} QE
+    delta = jnp.sum(X * X, axis=0).reshape(M, HW)
+    z_cov = jnp.where(ok, Q + delta, Q)
+    d = disps.reshape(M, HW)
+    cov = z_cov / (d ** 4 + 1e-6)
+    return cov.reshape(disps.shape)
+
+
 @functools.partial(jax.jit, static_argnames=("fixedp",))
 def ba_retract(poses, disps, dx, aux, fixedp=0):
     """Apply an externally solved pose delta; back-substitute depths

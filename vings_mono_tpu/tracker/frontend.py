@@ -151,7 +151,11 @@ class Frontend:
                 self.inertial.on_rm_keyframe(self.t1 - 2)
             self.t1 -= 1
         else:
-            for _ in range(self.iters2):
+            for k in range(self.iters2):
+                if k == self.iters2 - 1:
+                    # depth covariance on the frame's final solve, consumed
+                    # by the middleware's uncertainty weighting
+                    self.graph._next_update_cov = True
                 self.graph.update(None, None, iters=2, use_inactive=True)
             self.new_frame_added = True
 

@@ -98,13 +98,13 @@ def _store_inactive_kernel(inac: InactiveStore, edges: EdgeStore,
 
 
 @functools.partial(jax.jit, static_argnames=("w_ba", "iters", "update_apply",
-                                             "do_ba"))
+                                             "do_ba", "compute_cov"))
 def _fused_update(params, update_apply, bufs: VideoBuffers,
                   edges: EdgeStore, inac: InactiveStore,
                   slots, ii, jj, valid,
                   inac_slots, inac_ii, inac_jj, inac_valid,
                   base, t0, t1, flags, *, w_ba: int, iters: int,
-                  do_ba: bool = True):
+                  do_ba: bool = True, compute_cov: bool = False):
     """One GRU+BA update over the active graph (covisible_graph.py:214-352).
 
     slots/ii/jj/valid: fixed-cap active edge arrays (absolute window-buffer
@@ -223,6 +223,28 @@ def _fused_update(params, update_apply, bufs: VideoBuffers,
     # where disps_sens > 0 keep it pinned (depth_video.py:376-379 uses it in
     # the CUDA kernel; we re-pin after the solve)
     disps_win = jnp.where(dsens_win > 0, dsens_win, disps_win)
+
+    if compute_cov:
+        # depth covariance at the final linearization (the reference's
+        # compute_covariances, depth_video.py:676-726), upsampled with the
+        # same convex mask as the disparities
+        H_, v_, E_, C_, w_ = ba_ops.build_system(
+            tgt, wgt, eta_ba, poses_win, disps_win, intr_win, all_ii,
+            all_jj, all_valid, fixedp=0)
+        S_, v2_, Q_ = ba_ops.schur_reduce(H_, v_, E_, C_, w_)
+        free = jnp.arange(w_ba) >= t0_rel
+        cov = ba_ops.depth_covariance(S_, E_, Q_, disps_win,
+                                      free_mask=free)
+        cov = jnp.clip(cov, 1e-6, 1e6)
+        cov_old = jax.lax.dynamic_slice_in_dim(bufs.depths_cov, base, w_ba)
+        cov = jnp.where(has_edge[:, None, None], cov, cov_old)
+        cov_up = upsample_disp(cov, upmask[:w_ba])
+        cov_up = jnp.clip(cov_up, 1e-6, 1e6)
+        bufs = bufs.replace(
+            depths_cov=jax.lax.dynamic_update_slice_in_dim(
+                bufs.depths_cov, cov, base, axis=0),
+            depths_cov_up=jax.lax.dynamic_update_slice_in_dim(
+                bufs.depths_cov_up, cov_up, base, axis=0))
 
     bufs = _writeback_window(bufs, base, poses_win, disps_win,
                              upmask[:w_ba], has_edge, w_ba)
@@ -474,6 +496,8 @@ class CovisibleGraph:
             jnp.asarray(base, jnp.int32), jnp.asarray(t0, jnp.int32),
             jnp.asarray(t1, jnp.int32), flags)
 
+        compute_cov = getattr(self, "_next_update_cov", False)
+        self._next_update_cov = False
         inertial = getattr(self, "inertial", None)
         if inertial is not None and self.video.imu_enabled:
             # VIO: GRU on TPU, pose fusion on the host factor graph
@@ -489,7 +513,8 @@ class CovisibleGraph:
                 disps_win, dsens_win, upmask, has_edge, w_ba=self.w_ba)
         else:
             self.video.bufs, self.edges = _fused_update(
-                *args, w_ba=self.w_ba, iters=iters, do_ba=True)
+                *args, w_ba=self.w_ba, iters=iters, do_ba=True,
+                compute_cov=compute_cov)
         self.age += 1
 
     # ------------------------------------------------------------------
