@@ -38,19 +38,23 @@ class ReplayDataset:
 
 
 def save_viz_out(path, viz_out):
-    """Write one viz_out window as .npz (debug_mode recorder)."""
+    """Write one viz_out window as .npz (debug_mode recorder); padded
+    windows are trimmed to their valid keyframes."""
     intr = viz_out["intrinsic"]
+    K = int(viz_out.get("n_valid",
+                        np.asarray(viz_out["images"]).shape[0]))
     np.savez_compressed(
         path,
-        images=np.asarray(viz_out["images"], np.float32),
-        depths=np.asarray(viz_out["depths"], np.float32),
-        depths_cov=np.asarray(viz_out["depths_cov"], np.float32),
-        poses=np.asarray(viz_out["poses"], np.float32),
-        viz_out_idx_to_f_idx=np.asarray(viz_out["viz_out_idx_to_f_idx"]),
+        images=np.asarray(viz_out["images"], np.float32)[:K],
+        depths=np.asarray(viz_out["depths"], np.float32)[:K],
+        depths_cov=np.asarray(viz_out["depths_cov"], np.float32)[:K],
+        poses=np.asarray(viz_out["poses"], np.float32)[:K],
+        viz_out_idx_to_f_idx=np.asarray(
+            viz_out["viz_out_idx_to_f_idx"])[:K],
         intrinsic=np.asarray([intr["fu"], intr["fv"], intr["cu"],
                               intr["cv"], intr["H"], intr["W"]], np.float64),
-        pixel_mask=np.asarray(viz_out["pixel_mask"], bool),
-        global_kf_id=np.asarray(viz_out["global_kf_id"], np.int64),
+        pixel_mask=np.asarray(viz_out["pixel_mask"], bool)[:K],
+        global_kf_id=np.asarray(viz_out["global_kf_id"], np.int64)[:K],
     )
 
 

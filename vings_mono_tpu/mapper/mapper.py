@@ -59,6 +59,21 @@ class GaussianMapper:
 
     # ---- packing -----------------------------------------------------
     def _pack_batch(self, viz_out) -> KeyframeBatch:
+        if "n_valid" in viz_out and \
+                np.asarray(viz_out["images"]).shape[0] == self.kf_capacity:
+            # middleware already produced a fixed-capacity padded window
+            return KeyframeBatch(
+                images=jnp.moveaxis(jnp.asarray(viz_out["images"],
+                                                jnp.float32), -1, 1),
+                depths=jnp.moveaxis(jnp.asarray(viz_out["depths"],
+                                                jnp.float32), -1, 1),
+                depths_cov=jnp.moveaxis(jnp.asarray(viz_out["depths_cov"],
+                                                    jnp.float32), -1, 1),
+                w2cs=jnp.linalg.inv(jnp.asarray(viz_out["poses"],
+                                                jnp.float32)),
+                global_kf_id=jnp.asarray(viz_out["global_kf_id"],
+                                         jnp.int32),
+                n_valid=jnp.asarray(int(viz_out["n_valid"]), jnp.int32))
         imgs = jnp.moveaxis(jnp.asarray(viz_out["images"], jnp.float32),
                             -1, 1)                    # (K,3,H,W)
         depths = jnp.moveaxis(jnp.asarray(viz_out["depths"], jnp.float32),

@@ -1,23 +1,43 @@
 """Tracker -> mapper data contract: `judge_and_package`
 (/root/reference/scripts/vings_utils/middleware_utils.py:199-250, v3).
 
-Produces the `viz_out` dict (SURVEY §1): images (N,H,W,3 in [0,1]), depths,
-depths_cov (N,H,W,1), poses (N,4,4 c2w), viz_out_idx_to_f_idx (timestamps),
-intrinsic dict, pixel_mask, global_kf_id.
+Produces the `viz_out` dict (SURVEY §1): images (K,H,W,3 in [0,1]), depths,
+depths_cov (K,H,W,1), poses (K,4,4 c2w), viz_out_idx_to_f_idx (timestamps),
+intrinsic dict, pixel_mask, global_kf_id — padded to a FIXED window
+capacity (cfg mapper.kf_capacity) with `n_valid`, so the whole packaging is
+one compiled program (variable window sizes would recompile every frame).
 
 One deliberate divergence from the reference: it selects "valid local
 keyframes" by indexing the *edge array by position* t0..t1
-(middleware_utils.py:216) — a quirk that approximates "frames >= t0 that
-source an edge, minus the newest". We implement that intent directly.
+(middleware_utils.py:216) — a quirk approximating "frames >= t0 that source
+an edge, minus the newest"; we implement that intent directly.
 """
 
 from __future__ import annotations
+
+import functools
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from .ops import lie
+
+
+@functools.partial(jax.jit, static_argnames=("k_cap",))
+def _package_kernel(bufs, sel, n_valid, max_depth, cov_times, *, k_cap):
+    rgbs = bufs.images[sel]                              # (K, H, W, 3)
+    depths = (1.0 / (bufs.disps_up[sel] + 1e-6))[..., None]
+    covs = bufs.depths_cov_up[sel][..., None]
+    K = k_cap
+    cov_med = jnp.median(covs.reshape(K, -1), axis=1)[:, None, None, None]
+    zero = (depths > max_depth) | (covs > cov_times * cov_med)
+    depths = jnp.where(zero, 0.0, depths)
+    cov_fill = jnp.max(jnp.where(depths > 0, covs, 0.0))
+    covs = jnp.where(depths == 0, cov_fill, covs)
+    rgbs = jnp.where(depths == 0, 0.0, rgbs)
+    c2ws = lie.se3_matrix(lie.se3_inv(bufs.poses[sel]))
+    return rgbs, depths, covs, c2ws
 
 
 def judge_and_package(tracker, cfg=None):
@@ -27,14 +47,13 @@ def judge_and_package(tracker, cfg=None):
     video = tracker.video
     if not fe.new_frame_added:
         return None
-
     if len(graph.ii) == 0:
         return None
+
     t0 = max(1, int(graph.ii.min()) + 1)
     m = (graph.ii_inac >= t0 - graph.inac_range) & \
         (graph.jj_inac >= t0 - graph.inac_range)
     ii = np.concatenate([graph.ii_inac[m], graph.ii])
-
     cand = np.unique(ii[ii >= t0])
     if len(cand) > 1:
         valid_localkf = np.sort(cand)[:-1]
@@ -43,57 +62,55 @@ def judge_and_package(tracker, cfg=None):
     if len(valid_localkf) == 0:
         return None
 
+    k_cap = int(cfg["mapper"]["kf_capacity"])
+    if len(valid_localkf) > k_cap:
+        valid_localkf = valid_localkf[-k_cap:]
+    K = len(valid_localkf)
+    sel = np.full(k_cap, valid_localkf[-1], np.int64)
+    sel[:K] = valid_localkf
+
     # our save buffers hold exactly the rolled-out keyframes, so global id =
     # count_save + local index (the reference spills at the edge-window
-    # boundary instead and subtracts min(ii), depth_video.py:386-424 —
-    # same mapping, different spill point)
-    local_to_global_bias = video.count_save
-    tracker.local_to_global_bias = local_to_global_bias
-    global_kf_id = valid_localkf + local_to_global_bias
+    # boundary and subtracts min(ii) instead — same mapping, different
+    # spill point, depth_video.py:386-424)
+    tracker.local_to_global_bias = video.count_save
+    global_kf_id = sel + video.count_save
 
-    sel = jnp.asarray(valid_localkf, jnp.int32)
-    bufs = video.bufs
-    rgbs = bufs.images[sel]                                   # (N,H,W,3)
-    depths = (1.0 / (bufs.disps_up[sel] + 1e-6))[..., None]   # (N,H,W,1)
-    covs = bufs.depths_cov_up[sel][..., None]
-
-    N = depths.shape[0]
-    cov_med = jnp.median(covs.reshape(N, -1), axis=1)[:, None, None, None]
     mw = cfg["middleware"]
-    zero = (depths > mw["max_depth"]) | (covs > mw["cov_times"] * cov_med)
-    depths = jnp.where(zero, 0.0, depths)
-    cov_fill = jnp.max(jnp.where(depths > 0, covs, 0.0))
-    covs = jnp.where(depths == 0, cov_fill, covs)
-    rgbs = jnp.where(depths == 0, 0.0, rgbs)
+    rgbs, depths, covs, c2ws = _package_kernel(
+        video.bufs, jnp.asarray(sel, jnp.int32),
+        jnp.asarray(K, jnp.int32), jnp.float32(mw["max_depth"]),
+        jnp.float32(mw["cov_times"]), k_cap=k_cap)
 
-    c2ws = lie.se3_matrix(lie.se3_inv(bufs.poses[sel]))
-    H, W = rgbs.shape[1:3]
-    intr = np.asarray(jax.device_get(bufs.intrinsics[sel][0])) * 8.0
+    H, W = video.ht, video.wd
+    intr = np.asarray(jax.device_get(video.bufs.intrinsics[0])) * 8.0
     # buffer intrinsics are [fx fy cx cy]; the viz_out dict uses the
     # reference's row-major fu/cu naming (fu = fy)
     intrinsic = {"fu": float(intr[1]), "fv": float(intr[0]),
                  "cu": float(intr[3]), "cv": float(intr[2]),
                  "H": int(H), "W": int(W)}
-    tstamps = np.asarray([video.tstamps_host[i] for i in valid_localkf])
+    tstamps = np.asarray([video.tstamps_host[i] for i in sel])
 
     return {
         "images": rgbs,
         "depths": depths,
         "depths_cov": covs,
         "poses": c2ws,
-        "viz_out_idx_to_f_idx": tstamps,
+        "viz_out_idx_to_f_idx": tstamps[:K],
         "intrinsic": intrinsic,
-        "pixel_mask": jnp.ones((N, H, W), bool),
+        "pixel_mask": jnp.ones((k_cap, H, W), bool),
         "global_kf_id": jnp.asarray(global_kf_id, jnp.int32),
         "valid_localkf_id": valid_localkf,
+        "n_valid": K,
     }
 
 
 def retrieve_to_tracker(viz_out, new_poses, tracker):
     """Write mapper-refined c2w poses back into the tracker window
     (middleware_utils.py:320-353, use_refine path)."""
-    sel = jnp.asarray(viz_out["valid_localkf_id"], jnp.int32)
-    w2c = jnp.linalg.inv(new_poses)
+    K = viz_out.get("n_valid", len(viz_out["valid_localkf_id"]))
+    sel = jnp.asarray(viz_out["valid_localkf_id"][:K], jnp.int32)
+    w2c = jnp.linalg.inv(new_poses[:K])
     tq = lie.se3_from_matrix(w2c)
     bufs = tracker.video.bufs
     tracker.video.bufs = bufs.replace(poses=bufs.poses.at[sel].set(tq))

@@ -47,6 +47,11 @@ class BinnedScene(NamedTuple):
     n_chunks: jnp.ndarray    # () int32 — real chunk count (rest are no-ops)
     n_pairs: jnp.ndarray     # () int32 — real pair count before padding
     overflow: jnp.ndarray    # () bool — pair capacity exceeded (tail dropped)
+    # backward scatter plan: TPU scatter-adds run at element rate, so the
+    # pair->Gaussian gradient reduction is done as row-gather by `gperm`
+    # (pairs sorted by Gaussian id) + cumsum + segment-boundary differences
+    gperm: jnp.ndarray       # (P_CAP,) int32 permutation sorting by gaussian
+    gbounds: jnp.ndarray     # (N+1,) int32 segment starts in sorted order
 
 
 def num_tiles(height, width, tile=TILE):
@@ -158,8 +163,16 @@ def bin_surfels(proj: ProjectedSurfels, *, height: int, width: int,
     chunk_tile = jnp.where(in_range, chunk_tile, last_tile)
     chunk_first = jnp.where(in_range, chunk_first, 0)
 
+    # ---- backward scatter plan (sorted-segment reduction)
+    gkey = jnp.where(pair_valid, pair_idx, N)
+    gperm = jnp.argsort(gkey).astype(jnp.int32)
+    gids_sorted = gkey[gperm]
+    gbounds = jnp.searchsorted(gids_sorted,
+                               jnp.arange(N + 1, dtype=jnp.int32)
+                               ).astype(jnp.int32)
+
     return BinnedScene(pair_idx=pair_idx, pair_valid=pair_valid,
                        chunk_tile=chunk_tile, chunk_first=chunk_first,
                        n_chunks=total_chunks.astype(jnp.int32),
                        n_pairs=jnp.minimum(n_total, p_cap),
-                       overflow=overflow)
+                       overflow=overflow, gperm=gperm, gbounds=gbounds)

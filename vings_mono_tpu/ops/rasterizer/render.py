@@ -42,16 +42,40 @@ def _unpack_tiles(out_tiles, height, width):
     return x[:, :height, :width]
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def _take_rows(packed, pair_idx, valid_f, gperm, gbounds):
+    """Row gather pairs <- gaussians whose VJP is a *sorted-segment*
+    reduction (cumsum + boundary diff) instead of an XLA scatter-add — TPU
+    scatters run at element rate and dominated the mapper backward."""
+    return packed[pair_idx] * valid_f[:, None]
+
+
+def _take_rows_fwd(packed, pair_idx, valid_f, gperm, gbounds):
+    out = _take_rows(packed, pair_idx, valid_f, gperm, gbounds)
+    return out, (packed.shape[0], pair_idx, valid_f, gperm, gbounds)
+
+
+def _take_rows_bwd(res, g):
+    n, pair_idx, valid_f, gperm, gbounds = res
+    gz = g * valid_f[:, None]
+    gs = gz[gperm]                                   # row gather
+    csum = jnp.concatenate([jnp.zeros((1, g.shape[1]), g.dtype),
+                            jnp.cumsum(gs, axis=0)], axis=0)
+    seg = csum[gbounds[1:]] - csum[gbounds[:-1]]     # (N, C)
+    return seg, None, None, None, None
+
+
+_take_rows.defvjp(_take_rows_fwd, _take_rows_bwd)
+
+
 def rasterize_binned(packed, score_carrier, binned: BinnedScene,
                      camera: Camera, interpret=False):
     """Render pre-binned surfels. packed (N, PK_PAD) differentiable."""
-    valid = binned.pair_valid
-    # feature-major gather: (PK_PAD, P_CAP); the VJP of this gather is the
-    # pair->Gaussian scatter-add (replaces the CUDA backward's atomics)
-    pair_data = packed.T[:, binned.pair_idx] * valid[None, :].astype(
-        packed.dtype)
-    pair_scores = score_carrier.T[:, binned.pair_idx] * valid[None, :].astype(
-        score_carrier.dtype)
+    valid_f = binned.pair_valid.astype(packed.dtype)
+    pair_data = _take_rows(packed, binned.pair_idx, valid_f, binned.gperm,
+                           binned.gbounds).T
+    pair_scores = _take_rows(score_carrier, binned.pair_idx, valid_f,
+                             binned.gperm, binned.gbounds).T
     nty, ntx = num_tiles(camera.height, camera.width)
     meta = jnp.asarray([camera.fx, camera.fy, camera.cx, camera.cy,
                         jnp.float32(ntx), 0.0, 0.0, 0.0], jnp.float32)

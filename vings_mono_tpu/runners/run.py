@@ -104,7 +104,7 @@ def _save_vis(cfg, save_dir, tracker, mapper, storage, viz_out, kf_count):
     gt_cov = np.moveaxis(np.asarray(viz_out["depths_cov"][kf]), -1, 0)
     ts = float(np.asarray(viz_out["viz_out_idx_to_f_idx"])[kf])
     save_rgbdnua(save_dir, ts, rets, gt_rgb, gt_depth, gt_cov)
-    if kf_count % 10 == 0:
+    if (kf_count - 1) % 10 == 0:
         _, c2ws = tracker_c2ws(tracker)
         vis_map(mapper, np.asarray(c2ws),
                 os.path.join(save_dir, "map", f"map_{kf_count:05d}.png"),
