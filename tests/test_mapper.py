@@ -87,3 +87,35 @@ def test_mapper_with_sky():
     assert mapper.sky is not None
     assert int(mapper.sky.state.n_alive()) > 0
     assert np.isfinite(mapper.last_metrics["total"])
+
+
+def test_pose_refinement_recovers_perturbation():
+    """refine_poses pulls a perturbed keyframe pose back toward the pose
+    that explains the (frozen) map (train_once_pose semantics)."""
+    import jax.numpy as jnp
+    from vings_mono_tpu.mapper.refine import refine_poses
+    from vings_mono_tpu.mapper.train import bin_stack
+    from vings_mono_tpu.ops import lie
+
+    rng = np.random.default_rng(7)
+    viz_out, _ = make_viz_out(rng, n_kf=3)
+    mapper = GaussianMapper(small_cfg())
+    mapper.run(viz_out)
+
+    batch = mapper._pack_batch(viz_out)
+    intr4 = jnp.asarray([30.0, 30.0, 16.0, 16.0])
+    # perturb keyframe 0's pose
+    xi = jnp.zeros((batch.w2cs.shape[0], 6)).at[0, 0].set(0.3)
+    c2ws = jnp.linalg.inv(batch.w2cs)
+    c2ws_pert = jnp.einsum("kij,kjl->kil", c2ws,
+                           lie.se3_matrix(lie.se3_exp(xi)))
+    batch_pert = batch._replace(w2cs=jnp.linalg.inv(c2ws_pert))
+    binned = bin_stack(mapper.state, batch_pert, intr4, 32, 32,
+                       **mapper.bin_kwargs)
+    new_c2ws, _ = refine_poses(mapper.state, batch_pert, binned, intr4,
+                               iters=60, lr=5e-3, height=32, width=32,
+                               render_kwargs=mapper.render_kwargs)
+    err_before = float(jnp.linalg.norm(c2ws_pert[0, :3, 3]
+                                       - c2ws[0, :3, 3]))
+    err_after = float(jnp.linalg.norm(new_c2ws[0, :3, 3] - c2ws[0, :3, 3]))
+    assert err_after < err_before, (err_before, err_after)

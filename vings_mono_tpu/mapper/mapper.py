@@ -163,6 +163,20 @@ class GaussianMapper:
 
         binned = bin_stack(self.state, batch, intr4, self.H, self.W,
                            **self.bin_kwargs)
+
+        self.refined_poses = None
+        if self.cfg.get("use_refine") and self.initialized:
+            from .refine import refine_poses, apply_pose_bias_to_gaussians
+            new_c2ws, _ = refine_poses(
+                self.state, batch, binned, intr4, iters=20,
+                height=self.H, width=self.W,
+                render_kwargs=self.render_kwargs)
+            old_c2ws = jnp.linalg.inv(batch.w2cs)
+            self.state = apply_pose_bias_to_gaussians(
+                self.state, batch.global_kf_id, old_c2ws, new_c2ws)
+            batch = batch._replace(w2cs=jnp.linalg.inv(new_c2ws))
+            self.refined_poses = new_c2ws
+
         lrs = self._lrs(ta)
         sky_kwargs = {}
         if self.use_sky:

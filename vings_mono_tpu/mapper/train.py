@@ -45,19 +45,24 @@ def _select_kf(tree, kf):
     return jax.tree.map(lambda x: x[kf], tree)
 
 
+@functools.partial(jax.jit, static_argnames=("height", "width", "p_cap",
+                                             "chunk", "side"))
 def bin_stack(state: GaussianState, batch: KeyframeBatch, intr4, height,
-              width, **bin_kwargs):
-    """Bin every keyframe camera in the window (vmapped argsorts)."""
+              width, p_cap=1 << 21, chunk=128, side=5):
+    """Bin every keyframe camera in the window. Jitted: an un-jitted
+    lax.map re-traces AND re-compiles its body every call (~30 s/window)."""
     def one(w2c):
         cam = make_camera(w2c, intr4, height, width)
         return bin_for_camera(state.xyz, state.log_scale, state.quat,
                               state.logit_opacity, state.rgb, cam,
-                              alive=state.alive, **bin_kwargs)
+                              alive=state.alive, p_cap=p_cap, chunk=chunk,
+                              side=side)
     return jax.lax.map(one, batch.w2cs)
 
 
 @functools.partial(jax.jit, static_argnames=("iters", "height", "width",
-                                             "render_kwargs", "use_sky"))
+                                             "render_kwargs", "use_sky"),
+                   donate_argnums=(0, 1))
 def train_loop(state: GaussianState, opt: SparseAdamState,
                batch: KeyframeBatch, binned_stack, intr4, key, *,
                iters: int, height: int, width: int, weights=None,

@@ -118,12 +118,17 @@ def _skew(v):
 # ---------------------------------------------------------------------------
 
 def so3_exp(phi):
-    """Axis-angle (3,) -> quaternion (xyzw), Taylor-safe near 0."""
+    """Axis-angle (3,) -> quaternion (xyzw), Taylor-safe near 0.
+
+    NB: the large-angle branch is evaluated at a *safe* theta so reverse-mode
+    autodiff through the unselected branch cannot produce 0 * inf = NaN
+    (the classic double-where pitfall)."""
     theta_sq = jnp.sum(phi * phi, axis=-1, keepdims=True)
-    theta = jnp.sqrt(jnp.clip(theta_sq, _EPS**2))
-    half = 0.5 * theta
     small = theta_sq < 1e-8
-    sinc_half = jnp.where(small, 0.5 - theta_sq / 48.0, jnp.sin(half) / theta)
+    theta = jnp.sqrt(jnp.where(small, 1.0, theta_sq))
+    half = 0.5 * theta
+    sinc_half = jnp.where(small, 0.5 - theta_sq / 48.0,
+                          jnp.sin(half) / theta)
     cos_half = jnp.where(small[..., 0], 1.0 - theta_sq[..., 0] / 8.0,
                          jnp.cos(half[..., 0]))
     return jnp.concatenate([phi * sinc_half, cos_half[..., None]], axis=-1)
@@ -134,38 +139,41 @@ def so3_log(q):
     q = q * jnp.sign(jnp.where(q[..., 3:4] == 0, 1.0, q[..., 3:4]))  # w >= 0
     qv = q[..., :3]
     qw = jnp.clip(q[..., 3], -1.0, 1.0)
-    sin_half = jnp.linalg.norm(qv, axis=-1)
+    sin_sq = jnp.sum(qv * qv, axis=-1)
+    small = sin_sq < 1e-12
+    sin_half = jnp.sqrt(jnp.where(small, 1.0, sin_sq))
     theta = 2.0 * jnp.arctan2(sin_half, qw)
-    small = sin_half < 1e-6
-    scale = jnp.where(small, 2.0 / jnp.clip(qw, _EPS), theta / jnp.clip(sin_half, _EPS))
+    scale = jnp.where(small, 2.0 / jnp.clip(qw, _EPS), theta / sin_half)
     return qv * scale[..., None]
 
 
 def _so3_left_jacobian(phi):
-    """V matrix such that exp([tau,phi]).t = V @ tau."""
+    """V matrix such that exp([tau,phi]).t = V @ tau (autodiff-safe at 0)."""
     theta_sq = jnp.sum(phi * phi, axis=-1)
-    theta = jnp.sqrt(jnp.clip(theta_sq, _EPS**2))
+    small = theta_sq < 1e-8
+    safe_sq = jnp.where(small, 1.0, theta_sq)
+    theta = jnp.sqrt(safe_sq)
     K = _skew(phi)
     KK = K @ K
-    small = theta_sq < 1e-8
     a = jnp.where(small, 0.5 - theta_sq / 24.0,
-                  (1.0 - jnp.cos(theta)) / jnp.clip(theta_sq, _EPS**2))
+                  (1.0 - jnp.cos(theta)) / safe_sq)
     b = jnp.where(small, 1.0 / 6.0 - theta_sq / 120.0,
-                  (theta - jnp.sin(theta)) / jnp.clip(theta_sq * theta, _EPS**3))
+                  (theta - jnp.sin(theta)) / (safe_sq * theta))
     eye = jnp.eye(3, dtype=phi.dtype)
     return eye + a[..., None, None] * K + b[..., None, None] * KK
 
 
 def _so3_left_jacobian_inv(phi):
     theta_sq = jnp.sum(phi * phi, axis=-1)
-    theta = jnp.sqrt(jnp.clip(theta_sq, _EPS**2))
+    small = theta_sq < 1e-8
+    safe_sq = jnp.where(small, 1.0, theta_sq)
+    theta = jnp.sqrt(safe_sq)
     K = _skew(phi)
     KK = K @ K
-    small = theta_sq < 1e-8
-    half_theta = 0.5 * theta
+    half = 0.5 * theta
     cot = jnp.where(small, 1.0 / 12.0 + theta_sq / 720.0,
-                    (1.0 - half_theta * jnp.cos(half_theta)
-                     / jnp.clip(jnp.sin(half_theta), _EPS)) / jnp.clip(theta_sq, _EPS**2))
+                    (1.0 - half * jnp.cos(half)
+                     / jnp.where(small, 1.0, jnp.sin(half))) / safe_sq)
     eye = jnp.eye(3, dtype=phi.dtype)
     return eye - 0.5 * K + cot[..., None, None] * KK
 

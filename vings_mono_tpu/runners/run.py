@@ -70,6 +70,10 @@ def run(cfg, save_dir, max_frames=None, on_frame=None):
         if viz_out is not None:
             with timer("map"):
                 mapper.run(viz_out)
+            if cfg.get("use_refine") and \
+                    getattr(mapper, "refined_poses", None) is not None:
+                from ..middleware import retrieve_to_tracker
+                retrieve_to_tracker(viz_out, mapper.refined_poses, tracker)
             kf_count += 1
             if looper is not None and kf_count > \
                     cfg["looper"]["start_after"] and \

@@ -14,6 +14,8 @@ per new keyframe (__update, reference :167-399):
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -22,7 +24,7 @@ from .graph import CovisibleGraph
 from .video import DepthVideo
 
 
-@jax.jit
+@functools.partial(jax.jit, donate_argnums=(0,))
 def _seed_next_kernel(bufs, t1, init_flag):
     """poses[t1] = poses[t1-1]; disps[t1] = mean of recent disps — one
     compiled program with traced indices (per-frame python-int indexing
@@ -37,7 +39,7 @@ def _seed_next_kernel(bufs, t1, init_flag):
                         disps=bufs.disps.at[t1].set(mean))
 
 
-@jax.jit
+@functools.partial(jax.jit, donate_argnums=(0,))
 def _disp_prior_kernel(bufs, ix):
     new_disp = jnp.where(bufs.disps_sens[ix] > 0, bufs.disps_sens[ix],
                          bufs.disps[ix])

@@ -65,7 +65,7 @@ def empty_edges(e_cap, h, w):
     )
 
 
-@jax.jit
+@functools.partial(jax.jit, donate_argnums=(0,))
 def _add_edges_kernel(edges: EdgeStore, bufs: VideoBuffers, slots, ii, jj,
                       valid):
     """Fill edge slots: corr pyramid (fmap_i x fmap_j), GRU state from the
@@ -88,7 +88,7 @@ def _add_edges_kernel(edges: EdgeStore, bufs: VideoBuffers, slots, ii, jj,
     )
 
 
-@jax.jit
+@functools.partial(jax.jit, donate_argnums=(0,))
 def _store_inactive_kernel(inac: InactiveStore, edges: EdgeStore,
                            e_slots, i_slots, valid):
     idx = jnp.where(valid, i_slots, inac.target.shape[0])
@@ -98,7 +98,8 @@ def _store_inactive_kernel(inac: InactiveStore, edges: EdgeStore,
 
 
 @functools.partial(jax.jit, static_argnames=("w_ba", "iters", "update_apply",
-                                             "do_ba", "compute_cov"))
+                                             "do_ba", "compute_cov"),
+                   donate_argnums=(2, 3))
 def _fused_update(params, update_apply, bufs: VideoBuffers,
                   edges: EdgeStore, inac: InactiveStore,
                   slots, ii, jj, valid,
@@ -265,7 +266,7 @@ def _writeback_window(bufs, base, poses_win, disps_win, upmask, has_edge,
         bufs.disps_up, up, base, axis=0))
 
 
-@functools.partial(jax.jit, static_argnames=("w_ba",))
+@functools.partial(jax.jit, static_argnames=("w_ba",), donate_argnums=(0,))
 def _finish_update(bufs, base, poses_win, disps_win, dsens_win, upmask,
                    has_edge, *, w_ba: int):
     disps_win = jnp.where(dsens_win > 0, dsens_win, disps_win)

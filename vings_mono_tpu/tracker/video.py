@@ -62,7 +62,8 @@ def empty_buffers(buf: int, height: int, width: int) -> VideoBuffers:
     )
 
 
-@functools.partial(jax.jit, static_argnames=("set_pose", "set_disp"))
+@functools.partial(jax.jit, static_argnames=("set_pose", "set_disp"),
+                   donate_argnums=(0,))
 def _append(bufs: VideoBuffers, idx, tstamp, image, pose, disp, disp_sens,
             intrinsics8, fmap, net, inp, set_pose=True, set_disp=True):
     out = bufs.replace(
@@ -81,7 +82,7 @@ def _append(bufs: VideoBuffers, idx, tstamp, image, pose, disp, disp_sens,
     return out
 
 
-@jax.jit
+@functools.partial(jax.jit, donate_argnums=(0,))
 def _shift_left(bufs: VideoBuffers, ix):
     """Drop keyframe ix: copy slot k+1 -> k for k >= ix (rm_keyframe,
     covisible_graph.py:179-211)."""
@@ -93,7 +94,7 @@ def _shift_left(bufs: VideoBuffers, ix):
     return jax.tree.map(shift, bufs)
 
 
-@jax.jit
+@functools.partial(jax.jit, donate_argnums=(0,))
 def _roll(bufs: VideoBuffers, n):
     """Window rollup: shift all buffers left by n (dbaf_frontend.__rollup,
     dbaf_frontend.py:96-165)."""
