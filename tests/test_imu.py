@@ -177,3 +177,32 @@ def test_marginalization_consistency():
     for k in [1, 2, 3, 4]:
         err = x_true[k].local(x[k])
         assert np.abs(err[:9]).max() < 1e-2, (k, err)
+
+
+def test_native_preintegration_matches_numpy():
+    """The C++ core (csrc/preintegrate.cpp) must reproduce the numpy
+    reference bit-closely over a full measurement batch."""
+    from vings_mono_tpu.tracker import imu_native
+    lib = imu_native.get_lib()
+    if lib is None:
+        pytest.skip("no g++ toolchain")
+    _, meas = simulate(n_steps=80)
+    bg = np.array([0.01, -0.02, 0.005])
+    ba = np.array([0.03, 0.01, -0.02])
+    rows = np.asarray([[dt, *(a + ba), *(w + bg)] for a, w, dt in meas])
+
+    ref = Preintegration(ImuParams(), bg=bg, ba=ba)
+    for row in rows:
+        ref.integrate(row[1:4], row[4:7], row[0])
+
+    nat = Preintegration(ImuParams(), bg=bg, ba=ba)
+    assert imu_native.integrate_batch(nat, rows)
+
+    np.testing.assert_allclose(nat.dR, ref.dR, atol=1e-12)
+    np.testing.assert_allclose(nat.dv, ref.dv, atol=1e-12)
+    np.testing.assert_allclose(nat.dp, ref.dp, atol=1e-12)
+    np.testing.assert_allclose(nat.J_Rbg, ref.J_Rbg, atol=1e-12)
+    np.testing.assert_allclose(nat.J_vba, ref.J_vba, atol=1e-12)
+    np.testing.assert_allclose(nat.J_pbg, ref.J_pbg, atol=1e-10)
+    np.testing.assert_allclose(nat.cov, ref.cov, rtol=1e-8, atol=1e-14)
+    assert abs(nat.dt - ref.dt) < 1e-12

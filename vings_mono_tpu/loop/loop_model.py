@@ -25,6 +25,9 @@ class LoopModel:
         self.search_radius = float(lcfg.get("search_radius", 10.0))
         self.nms = int(lcfg.get("candidate_nms", 5))
         self.closed_at = []          # global kf ids of accepted loops
+        # GPS/manual candidate pairs [(cur_gid, cand_gid), ...] — the
+        # loop_model_gps.py variant (SURVEY §2.5)
+        self.manual_candidates = list(lcfg.get("manual_candidates", []))
 
     # ------------------------------------------------------------------
     def _history(self, tracker):
@@ -82,7 +85,9 @@ class LoopModel:
         c2ws, imgs = self._history(tracker)
         if cur_gid >= len(c2ws):
             return False
-        cands = self.find_candidates(c2ws, cur_gid)
+        cands = [c for g, c in self.manual_candidates
+                 if abs(g - cur_gid) <= 1] or \
+            self.find_candidates(c2ws, cur_gid)
         if not cands:
             return False
 

@@ -104,16 +104,20 @@ class InertialFusion:
                              ba=None if bias is None else bias[3:])
         m = (self.all_imu[:, 0] >= t_a) & (self.all_imu[:, 0] < t_b)
         rows = self.all_imu[m]
-        prev_t = t_a
-        for row in rows:
-            dt = row[0] - prev_t
-            pre.integrate(row[4:7], np.deg2rad(row[1:4]), dt)
-            prev_t = row[0]
-        if t_b > prev_t:
-            last = rows[-1] if len(rows) else None
-            if last is not None:
-                pre.integrate(last[4:7], np.deg2rad(last[1:4]),
-                              t_b - prev_t)
+        if len(rows) == 0:
+            return pre
+        # [dt, acc(3), gyro_rad(3)] batch, closing the tail to t_b
+        dts = np.diff(np.concatenate([[t_a], rows[:, 0]]))
+        batch = np.concatenate(
+            [dts[:, None], rows[:, 4:7], np.deg2rad(rows[:, 1:4])], axis=1)
+        if t_b > rows[-1, 0]:
+            batch = np.concatenate(
+                [batch, [[t_b - rows[-1, 0], *rows[-1, 4:7],
+                          *np.deg2rad(rows[-1, 1:4])]]])
+        from . import imu_native
+        if not imu_native.integrate_batch(pre, batch):
+            for row in batch:            # numpy fallback
+                pre.integrate(row[1:4], row[4:7], row[0])
         return pre
 
     def on_new_frame(self, t1):

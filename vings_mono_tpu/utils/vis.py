@@ -26,7 +26,7 @@ def colorize(x, vmin=None, vmax=None, cmap="magma"):
     t = np.clip((x - vmin) / max(vmax - vmin, 1e-8), 0, 1)
     try:
         import matplotlib.cm as cm
-        rgba = cm.get_cmap(cmap)(t)
+        rgba = __import__("matplotlib").colormaps[cmap](t)
         return (rgba[..., :3] * 255).astype(np.uint8)
     except Exception:
         g = (t * 255).astype(np.uint8)
