@@ -157,11 +157,14 @@ def bin_surfels(proj: ProjectedSurfels, *, height: int, width: int,
     chunk_tile = jnp.searchsorted(chunk_bounds, cidx, side="right") - 1
     chunk_tile = jnp.clip(chunk_tile, 0, T - 1).astype(jnp.int32)
     chunk_first = (cidx == chunk_bounds[chunk_tile]).astype(jnp.int32)
-    # out-of-range chunks: retarget at the last real tile, never "first"
+    # out-of-range chunks: retarget at the last real tile, never "first",
+    # flagged not-in-range so the kernel skips their per-pair math entirely
     last_tile = chunk_tile[jnp.maximum(total_chunks - 1, 0)]
     in_range = cidx < total_chunks
     chunk_tile = jnp.where(in_range, chunk_tile, last_tile)
-    chunk_first = jnp.where(in_range, chunk_first, 0)
+    # packed flags: bit0 = first chunk of tile, bit1 = in range
+    chunk_first = jnp.where(in_range, chunk_first, 0) + \
+        2 * in_range.astype(jnp.int32)
 
     # ---- backward scatter plan (sorted-segment reduction)
     gkey = jnp.where(pair_valid, pair_idx, N)

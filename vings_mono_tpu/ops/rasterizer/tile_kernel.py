@@ -174,7 +174,9 @@ def _md(z):
 def _fwd_kernel(chunk_tile, chunk_first, meta, pair_ref, out_ref, carry):
     i = pl.program_id(0)
     tile_id = chunk_tile[i]
-    first = chunk_first[i] == 1
+    flags = chunk_first[i]
+    first = (flags & 1) == 1
+    in_range = (flags & 2) == 2
     ntx = meta[4].astype(jnp.int32)
     cam = (meta[0], meta[1], meta[2], meta[3])
 
@@ -183,8 +185,9 @@ def _fwd_kernel(chunk_tile, chunk_first, meta, pair_ref, out_ref, carry):
         carry[0, :] = jnp.ones((PIX,), jnp.float32)   # transmittance
 
     # early termination: the whole tile is opaque already -> skip the chunk
-    # (farther chunks of the same tile stay skipped since T only decreases)
-    live_tile = jnp.max(carry[0, :]) > T_EPS
+    # (farther chunks of the same tile stay skipped since T only decreases);
+    # padding chunks beyond n_chunks are skipped outright
+    live_tile = in_range & (jnp.max(carry[0, :]) > T_EPS)
 
     @pl.when(live_tile)
     def _():
@@ -264,12 +267,13 @@ def _bwd_kernel(chunk_tile, chunk_first, meta, pair_ref, out_saved_ref,
                 g_ref, grad_ref, carry):
     i = pl.program_id(0)
     tile_id = chunk_tile[i]
-    first = chunk_first[i] == 1
+    first = (chunk_first[i] & 1) == 1
     ntx = meta[4].astype(jnp.int32)
     cam = (meta[0], meta[1], meta[2], meta[3])
 
     g = g_ref[0, :, :]             # (CH_PAD, PIX) cotangent for this tile
     out = out_saved_ref[0, :, :]   # (CH_PAD, PIX) saved forward output
+    flags = chunk_first[i]
 
     g_depth = g[CH_DEPTH, :][None, :]
     g_wm = g[CH_WM, :][None, :]
@@ -286,7 +290,7 @@ def _bwd_kernel(chunk_tile, chunk_first, meta, pair_ref, out_saved_ref,
 
     # early termination mirrors the forward: skipped chunks had w == 0, so
     # their gradients are exactly zero (the grad block must still be written)
-    live_tile = jnp.max(carry[0, :]) > T_EPS
+    live_tile = ((flags & 2) == 2) & (jnp.max(carry[0, :]) > T_EPS)
 
     @pl.when(jnp.logical_not(live_tile))
     def _():
