@@ -26,14 +26,18 @@ class CorrPyramid(NamedTuple):
     levels: List[jnp.ndarray]   # [(N, h1w1, h2/2^l, w2/2^l)]
 
 
-def build_pyramid(fmap1, fmap2, num_levels=NUM_LEVELS) -> CorrPyramid:
-    """fmap1/2 (N, h, w, C) -> pyramid of all-pairs correlations."""
+def build_pyramid(fmap1, fmap2, num_levels=NUM_LEVELS,
+                  dtype=jnp.float32) -> CorrPyramid:
+    """fmap1/2 (N, h, w, C) -> pyramid of all-pairs correlations.
+
+    dtype=bfloat16 halves the (large) volume storage and lookup traffic —
+    the reference ran its corr path under fp16 AMP (covisible_graph.py:102)."""
     N, h, w, C = fmap1.shape
     f1 = fmap1.reshape(N, h * w, C) / 4.0
     f2 = fmap2.reshape(N, h * w, C) / 4.0
     corr = jnp.einsum("npc,nqc->npq", f1, f2,
                       preferred_element_type=jnp.float32)
-    corr = corr.reshape(N, h * w, h, w)
+    corr = corr.reshape(N, h * w, h, w).astype(dtype)
     levels = [corr]
     for _ in range(num_levels - 1):
         c = levels[-1]
@@ -76,15 +80,16 @@ def _lookup_level(vol, coords, radius):
 
     x = coords[..., 0].reshape(N, P)
     y = coords[..., 1].reshape(N, P)
-    Wx = _interp_matrix(x, w2, radius)              # (N, P, k, w2)
-    Wy = _interp_matrix(y, h2, radius)              # (N, P, k, h2)
+    # interp matrices in the volume dtype (bf16 when the pyramid is bf16)
+    Wx = _interp_matrix(x, w2, radius).astype(vol.dtype)  # (N, P, k, w2)
+    Wy = _interp_matrix(y, h2, radius).astype(vol.dtype)  # (N, P, k, h2)
 
     # x-interpolation then y-interpolation (exact separable bilinear)
     t = jnp.einsum("npyx,npkx->npyk", vol, Wx,
                    preferred_element_type=jnp.float32)   # (N, P, h2, k)
-    out = jnp.einsum("npyk,npjy->npjk", t, Wy,
+    out = jnp.einsum("npyk,npjy->npjk", t.astype(vol.dtype), Wy,
                      preferred_element_type=jnp.float32)  # (N, P, ky, kx)
-    return out.reshape(N, h1, w1, k * k)
+    return out.reshape(N, h1, w1, k * k).astype(jnp.float32)
 
 
 def lookup(pyramid: CorrPyramid, coords, radius=RADIUS):

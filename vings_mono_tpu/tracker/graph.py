@@ -52,16 +52,19 @@ class InactiveStore:
 
 
 def empty_edges(e_cap, h, w):
+    """Corr pyramids live in bf16: halves the dominant memory+traffic cost
+    (the reference kept them fp16 under AMP, covisible_graph.py:102)."""
     z = jnp.zeros
+    bf = jnp.bfloat16
     return EdgeStore(
         net=z((e_cap, h, w, 128), jnp.float32),
         inp=z((e_cap, h, w, 128), jnp.float32),
         target=z((e_cap, h, w, 2), jnp.float32),
         weight=z((e_cap, h, w, 2), jnp.float32),
-        corr1=z((e_cap, h * w, h, w), jnp.float32),
-        corr2=z((e_cap, h * w, h // 2, w // 2), jnp.float32),
-        corr3=z((e_cap, h * w, h // 4, w // 4), jnp.float32),
-        corr4=z((e_cap, h * w, h // 8, w // 8), jnp.float32),
+        corr1=z((e_cap, h * w, h, w), bf),
+        corr2=z((e_cap, h * w, h // 2, w // 2), bf),
+        corr3=z((e_cap, h * w, h // 4, w // 4), bf),
+        corr4=z((e_cap, h * w, h // 8, w // 8), bf),
     )
 
 
@@ -72,7 +75,7 @@ def _add_edges_kernel(edges: EdgeStore, bufs: VideoBuffers, slots, ii, jj,
     source frame, target from current reprojection, zero weight."""
     f1 = bufs.fmaps[ii]
     f2 = bufs.fmaps[jj]
-    pyr = corr_ops.build_pyramid(f1, f2)
+    pyr = corr_ops.build_pyramid(f1, f2, dtype=jnp.bfloat16)
     coords, _ = pops.projective_transform(bufs.poses, bufs.disps,
                                           bufs.intrinsics, ii, jj)
     idx = jnp.where(valid, slots, edges.net.shape[0])
