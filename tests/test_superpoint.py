@@ -65,3 +65,31 @@ def test_converter_maps_torch_names():
     model = SuperPoint()
     heat, desc = model.apply(variables, jnp.zeros((1, 32, 32, 1)))
     assert heat.shape == (1, 32, 32)
+
+
+def test_lightglue_shapes_and_assignment():
+    from vings_mono_tpu.models.lightglue import (LightGlue, extract_matches,
+                                                 normalize_keypoints)
+    rng = np.random.default_rng(0)
+    N, M = 32, 40
+    d0 = rng.normal(size=(N, 256)).astype(np.float32)
+    d0 /= np.linalg.norm(d0, axis=1, keepdims=True)
+    d1 = np.concatenate([d0[:24], rng.normal(size=(M - 24, 256))
+                         .astype(np.float32)])
+    d1 /= np.linalg.norm(d1, axis=1, keepdims=True)
+    k0 = normalize_keypoints(jnp.asarray(
+        rng.uniform(0, 64, (N, 2)).astype(np.float32)), (64, 64))
+    k1 = normalize_keypoints(jnp.asarray(
+        rng.uniform(0, 64, (M, 2)).astype(np.float32)), (64, 64))
+    v0 = jnp.ones(N, bool)
+    v1 = jnp.ones(M, bool)
+    model = LightGlue(layers=2)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(d0),
+                        jnp.asarray(d1), k0, k1, v0, v1)
+    scores, z0, z1 = model.apply(params, jnp.asarray(d0), jnp.asarray(d1),
+                                 k0, k1, v0, v1)
+    assert scores.shape == (N, M)
+    assert np.all(np.isfinite(np.asarray(scores)))
+    assert z0.shape == (N,) and z1.shape == (M,)
+    idx, ok = extract_matches(scores, v0, v1, threshold=0.0)
+    assert idx.shape == (N,)
