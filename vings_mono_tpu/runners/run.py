@@ -42,7 +42,8 @@ def build(cfg):
     return dataset, tracker, mapper, looper, storage, metric
 
 
-def run(cfg, save_dir, max_frames=None, on_frame=None):
+def run(cfg, save_dir, max_frames=None, on_frame=None, resume=None,
+        checkpoint_every=None, start_frame=0):
     from ..middleware import judge_and_package
     from ..utils.trajectory import save_trajectory
     from ..utils.profiling import StageTimer
@@ -54,11 +55,22 @@ def run(cfg, save_dir, max_frames=None, on_frame=None):
         tracker.frontend.attach_inertial(InertialFusion(
             tracker.video, cfg, imu, np.asarray(cfg["frontend"]["c2i"])))
 
+    if resume:
+        from ..utils.checkpoint import load_session
+        load_session(resume, tracker, mapper,
+                     tracker.frontend.inertial)
+        start_frame = max(start_frame, len(tracker.video.tstamps_host)
+                          + tracker.video.count_save)
+
     timer = StageTimer()
     n = len(dataset) if max_frames is None else min(len(dataset),
                                                     max_frames)
     kf_count = 0
-    for idx in range(n):
+    for idx in range(start_frame, n):
+        if checkpoint_every and idx and idx % checkpoint_every == 0:
+            from ..utils.checkpoint import save_session
+            save_session(os.path.join(save_dir, "session"), tracker,
+                         mapper, tracker.frontend.inertial)
         pkt = dataset[idx]
         if metric is not None:
             with timer("metric"):
@@ -123,13 +135,18 @@ def main(argv=None):
     p.add_argument("config")
     p.add_argument("--prefix", default="")
     p.add_argument("--max-frames", type=int, default=None)
+    p.add_argument("--resume", default=None,
+                   help="session checkpoint dir to resume from")
+    p.add_argument("--checkpoint-every", type=int, default=None)
     args = p.parse_args(argv)
     cfg = load_config(args.config)
     save_dir = make_run_dir(cfg, args.prefix)
     import shutil
     shutil.copy(args.config, os.path.join(save_dir, "config.yaml"))
     t0 = time.time()
-    tracker, mapper, timer = run(cfg, save_dir, args.max_frames)
+    tracker, mapper, timer = run(cfg, save_dir, args.max_frames,
+                                 resume=args.resume,
+                                 checkpoint_every=args.checkpoint_every)
     print(f"done in {time.time() - t0:.1f}s -> {save_dir}")
     print(timer.report())
 
