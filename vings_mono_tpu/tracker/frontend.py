@@ -64,7 +64,9 @@ class Frontend:
         self.frontend_radius = int(fe.get("frontend_radius", 2))
         self.active_window = int(fe.get("active_window", 12))
         self.max_age = int(fe.get("max_age", 25))
-        self.visual_only = cfg.get("mode", "vo") == "vo"
+        # 'vo_nerfslam' consolidates onto the VO tracker with per-frame
+        # depth covariance (the reference's frontend_vo variant, SURVEY §2.3)
+        self.visual_only = cfg.get("mode", "vo") in ("vo", "vo_nerfslam")
         if self.visual_only:
             self.iters1 = int(fe.get("iters1", 4))
             self.iters2 = int(fe.get("iters2", 2))

@@ -81,7 +81,7 @@ class InertialFusion:
         self.vi_init_time = 1e18
         self.vi_warmup = int(fe.get("vi_warmup", 12))
         self.reinit = False
-        self.visual_only = cfg.get("mode", "vo") == "vo"
+        self.visual_only = cfg.get("mode", "vo") in ("vo", "vo_nerfslam")
 
     # ------------------------------------------------------------------
     # state bookkeeping driven by the frontend
