@@ -76,3 +76,37 @@ def test_threaded_pipeline(tmp_path):
     tracker, mapper = run(cfg, save_dir)
     assert mapper.initialized and mapper.n_alive > 100
     assert os.path.exists(os.path.join(save_dir, "ply", "final_2dgs.ply"))
+
+
+def test_onnx_initializer_reader(tmp_path):
+    """Hand-encode a minimal ONNX protobuf and read its weights back."""
+    import struct
+    from vings_mono_tpu.utils.onnx_weights import load_onnx_initializers
+
+    def varint(v):
+        out = b""
+        while True:
+            b7 = v & 0x7F
+            v >>= 7
+            out += bytes([b7 | (0x80 if v else 0)])
+            if not v:
+                return out
+
+    def field(num, wt, payload):
+        key = varint((num << 3) | wt)
+        if wt == 2:
+            return key + varint(len(payload)) + payload
+        return key + payload
+
+    w = np.arange(6, dtype=np.float32).reshape(2, 3)
+    tensor = (field(1, 0, varint(2)) + field(1, 0, varint(3))
+              + field(2, 0, varint(1))            # float32
+              + field(8, 2, b"convPa.weight")
+              + field(9, 2, w.tobytes()))
+    graph = field(5, 2, tensor)
+    model = field(7, 2, graph)
+    p = tmp_path / "tiny.onnx"
+    p.write_bytes(model)
+    weights = load_onnx_initializers(str(p))
+    assert "convPa.weight" in weights
+    np.testing.assert_array_equal(weights["convPa.weight"], w)
