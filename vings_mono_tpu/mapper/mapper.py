@@ -36,7 +36,8 @@ class GaussianMapper:
         self.kf_capacity = int(m["kf_capacity"])
         self.bin_kwargs = {"p_cap": int(m["pair_capacity"]),
                            "chunk": int(m["chunk"]),
-                           "side": int(m["side"])}
+                           "side": int(m["side"]),
+                           "v_cap": int(m.get("visible_capacity", 0))}
         # impl/interpret knobs let tests run the mapper on CPU (naive or
         # interpret-mode kernels); TPU uses the compiled tile path
         self.render_kwargs = tuple(self.bin_kwargs.items()) + \
@@ -161,6 +162,8 @@ class GaussianMapper:
                                    batch.images[new_id], self._next_key(),
                                    self.H, self.W)
 
+        # binning is per-round: densification just inserted new Gaussians
+        # that every keyframe's pair list must include
         binned = bin_stack(self.state, batch, intr4, self.H, self.W,
                            **self.bin_kwargs)
 

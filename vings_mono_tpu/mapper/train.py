@@ -46,9 +46,9 @@ def _select_kf(tree, kf):
 
 
 @functools.partial(jax.jit, static_argnames=("height", "width", "p_cap",
-                                             "chunk", "side"))
+                                             "chunk", "side", "v_cap"))
 def bin_stack(state: GaussianState, batch: KeyframeBatch, intr4, height,
-              width, p_cap=1 << 21, chunk=128, side=5):
+              width, p_cap=1 << 21, chunk=128, side=5, v_cap=0):
     """Bin every keyframe camera in the window. Jitted: an un-jitted
     lax.map re-traces AND re-compiles its body every call (~30 s/window)."""
     def one(w2c):
@@ -56,7 +56,7 @@ def bin_stack(state: GaussianState, batch: KeyframeBatch, intr4, height,
         return bin_for_camera(state.xyz, state.log_scale, state.quat,
                               state.logit_opacity, state.rgb, cam,
                               alive=state.alive, p_cap=p_cap, chunk=chunk,
-                              side=side)
+                              side=side, v_cap=v_cap)
     return jax.lax.map(one, batch.w2cs)
 
 

@@ -59,27 +59,35 @@ def num_tiles(height, width, tile=TILE):
 
 
 @functools.partial(jax.jit, static_argnames=("height", "width", "p_cap",
-                                             "chunk", "side", "tile"))
+                                             "chunk", "side", "tile",
+                                             "v_cap"))
 def bin_surfels(proj: ProjectedSurfels, *, height: int, width: int,
                 p_cap: int, chunk: int = 128, side: int = 5,
-                tile: int = TILE) -> BinnedScene:
-    """Build the tile-grouped pair list. See module docstring."""
+                tile: int = TILE, v_cap: int = 0) -> BinnedScene:
+    """Build the tile-grouped pair list. See module docstring.
+
+    v_cap > 0 compacts to the nearest v_cap visible Gaussians before
+    candidate enumeration — the depth argsort both culls and orders, so the
+    big (N*K) sort shrinks and needs no rank scatter."""
     N = proj.packed.shape[0]
     nty, ntx = num_tiles(height, width, tile)
     T = nty * ntx
     assert T < (1 << (32 - RANK_BITS)), "too many tiles for the sort key"
     K = side * side
     c_cap = p_cap // chunk
+    if v_cap <= 0 or v_cap > N:
+        v_cap = N
+    assert v_cap <= (1 << RANK_BITS)
 
-    # ---- depth ranks (front-to-back) over visible Gaussians
+    # ---- compact to the v_cap nearest visible Gaussians, depth-ordered
     big = jnp.float32(jnp.inf)
     order = jnp.argsort(jnp.where(proj.visible, proj.depth, big))
-    rank = jnp.zeros((N,), jnp.int32).at[order].set(
-        jnp.arange(N, dtype=jnp.int32))
+    sel = order[:v_cap].astype(jnp.int32)          # row i == depth rank i
+    visible = proj.visible[sel]
 
     # ---- candidate tiles per Gaussian (bbox clamped to side x side)
-    px, py = proj.center2d[:, 0], proj.center2d[:, 1]
-    r = proj.radius
+    px, py = proj.center2d[sel, 0], proj.center2d[sel, 1]
+    r = proj.radius[sel]
     tx0 = jnp.clip(jnp.floor((px - r) / tile), 0, ntx - 1).astype(jnp.int32)
     ty0 = jnp.clip(jnp.floor((py - r) / tile), 0, nty - 1).astype(jnp.int32)
     tx1 = jnp.clip(jnp.floor((px + r) / tile), 0, ntx - 1).astype(jnp.int32)
@@ -95,20 +103,20 @@ def bin_surfels(proj: ProjectedSurfels, *, height: int, width: int,
     dk = jnp.arange(K, dtype=jnp.int32)
     dxk = (dk % side)[None, :]
     dyk = (dk // side)[None, :]
-    tx = tx0[:, None] + dxk                      # (N, K)
+    tx = tx0[:, None] + dxk                      # (V, K)
     ty = ty0[:, None] + dyk
-    cand_valid = (proj.visible[:, None] & (tx <= tx1[:, None])
+    cand_valid = (visible[:, None] & (tx <= tx1[:, None])
                   & (ty <= ty1[:, None]))
     tile_id = (ty * ntx + tx).astype(jnp.uint32)
 
-    # ---- single sort groups by (tile, depth)
+    # ---- single sort groups by (tile, depth): row index IS the depth rank
+    rank = jax.lax.broadcasted_iota(jnp.uint32, (v_cap, K), 0)
     INVALID = jnp.uint32(0xFFFFFFFF)
-    key = jnp.where(cand_valid,
-                    (tile_id << RANK_BITS) | rank[:, None].astype(jnp.uint32),
+    key = jnp.where(cand_valid, (tile_id << RANK_BITS) | rank,
                     INVALID).reshape(-1)
-    perm = jnp.argsort(key)                       # (N*K,)
+    perm = jnp.argsort(key)                       # (V*K,)
     skey = key[perm]
-    s_gauss = (perm // K).astype(jnp.int32)
+    s_gauss = sel[(perm // K).astype(jnp.int32)]  # back to original ids
     s_valid = skey != INVALID
     s_tile = (skey >> RANK_BITS).astype(jnp.int32)
 

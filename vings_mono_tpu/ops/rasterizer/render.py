@@ -111,7 +111,7 @@ def render(xyz, log_scale, quat, logit_opacity, rgb, camera: Camera, *,
            alive=None, flow=None, score_carrier=None,
            binned: Optional[BinnedScene] = None,
            p_cap: int = 1 << 21, chunk: int = 128, side: int = 5,
-           impl: str = "tile", interpret=False):
+           v_cap: int = 0, impl: str = "tile", interpret=False):
     """Full differentiable render from raw Gaussian parameters.
 
     `binned` may be passed in to reuse a cached binning across training
@@ -137,7 +137,8 @@ def render(xyz, log_scale, quat, logit_opacity, rgb, camera: Camera, *,
     if binned is None:
         binned = bin_surfels(jax.tree.map(jax.lax.stop_gradient, proj),
                              height=camera.height, width=camera.width,
-                             p_cap=p_cap, chunk=chunk, side=side)
+                             p_cap=p_cap, chunk=chunk, side=side,
+                             v_cap=v_cap)
     ch = rasterize_binned(proj.packed, score_carrier, binned, camera,
                           interpret=interpret)
     return _channels_to_rets(ch, proj)
@@ -145,10 +146,10 @@ def render(xyz, log_scale, quat, logit_opacity, rgb, camera: Camera, *,
 
 def bin_for_camera(xyz, log_scale, quat, logit_opacity, rgb, camera: Camera,
                    *, alive=None, p_cap: int = 1 << 21, chunk: int = 128,
-                   side: int = 5) -> BinnedScene:
+                   side: int = 5, v_cap: int = 0) -> BinnedScene:
     """Compute a cacheable binning for `camera` at the current parameters."""
     proj = project_surfels(xyz, log_scale, quat, logit_opacity, rgb, camera,
                            alive=alive)
     proj = jax.tree.map(jax.lax.stop_gradient, proj)
     return bin_surfels(proj, height=camera.height, width=camera.width,
-                       p_cap=p_cap, chunk=chunk, side=side)
+                       p_cap=p_cap, chunk=chunk, side=side, v_cap=v_cap)
