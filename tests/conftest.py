@@ -20,6 +20,11 @@ import pytest  # noqa: E402
 
 _CPU = jax.devices("cpu")
 jax.config.update("jax_default_device", _CPU[0])
+# persistent compilation cache: the suite is compile-dominated on CPU
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.dirname(
+                      os.path.abspath(__file__))), ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 # also steer any platform-keyed logic in the library
 os.environ["VINGS_FORCE_CPU"] = "1"
 

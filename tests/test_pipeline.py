@@ -78,6 +78,7 @@ def test_tracking_then_mapping_replay(tmp_path):
 def test_pipeline_with_vis_and_storage(tmp_path):
     cfg = make_cfg(tmp_path)
     cfg["use_vis"] = True
+    cfg["vis"] = {"map_size": (48, 64), "bev_size": (48, 48)}
     cfg["use_storage_manager"] = True
     cfg["storage_manager"] = {"distance_threshold": 60.0, "every": 5}
     save_dir = str(tmp_path / "visrun")

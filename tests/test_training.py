@@ -57,7 +57,7 @@ def test_training_step_reduces_loss(rng):
     assert max(flat) > 0.0
 
     opt = optax.adam(1e-4)
-    step = make_train_step(model, opt)
+    step = make_train_step(model, opt, num_steps=2)
     opt_state = opt.init(params)
     losses = []
     for _ in range(3):

@@ -118,14 +118,15 @@ def droid_training_loss(model, params, batch: TrainBatch, num_steps=6,
     return total
 
 
-def make_train_step(model, optimizer):
+def make_train_step(model, optimizer, num_steps=6):
     """optax train step over the unrolled forward."""
     import optax
 
     @jax.jit
     def step(params, opt_state, batch):
         loss, grads = jax.value_and_grad(
-            lambda p: droid_training_loss(model, p, batch))(params)
+            lambda p: droid_training_loss(model, p, batch,
+                                          num_steps=num_steps))(params)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss

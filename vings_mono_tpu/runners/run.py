@@ -121,12 +121,16 @@ def _save_vis(cfg, save_dir, tracker, mapper, storage, viz_out, kf_count):
     ts = float(np.asarray(viz_out["viz_out_idx_to_f_idx"])[kf])
     save_rgbdnua(save_dir, ts, rets, gt_rgb, gt_depth, gt_cov)
     if (kf_count - 1) % 10 == 0:
+        vcfg = cfg.get("vis", {}) or {}
+        map_size = tuple(vcfg.get("map_size", (480, 640)))
+        bev_size = tuple(vcfg.get("bev_size", (320, 320)))
         _, c2ws = tracker_c2ws(tracker)
         vis_map(mapper, np.asarray(c2ws),
                 os.path.join(save_dir, "map", f"map_{kf_count:05d}.png"),
-                storage=storage)
+                size=map_size, storage=storage)
         vis_bev(mapper, np.asarray(viz_out["poses"][kf]),
-                os.path.join(save_dir, "bev", f"bev_{kf_count:05d}.png"))
+                os.path.join(save_dir, "bev", f"bev_{kf_count:05d}.png"),
+                size=bev_size)
 
 
 def main(argv=None):
