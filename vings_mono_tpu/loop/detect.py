@@ -21,12 +21,29 @@ except Exception:  # pragma: no cover
 
 
 class LoopDetector:
-    def __init__(self, cfg, sp_params_path=None, max_kp=512):
+    def __init__(self, cfg, sp_params_path=None, max_kp=512,
+                 lg_params_path=None):
         self.cfg = cfg
         self.model, self.params = load_superpoint(sp_params_path)
         self.max_kp = max_kp
         self._extract = jax.jit(self._extract_impl,
                                 static_argnames=("hh", "ww"))
+        # LightGlue backend when converted weights are supplied; otherwise
+        # mutual-NN matching on SuperPoint descriptors
+        self.lg = None
+        self.lg_params = None
+        if lg_params_path:
+            from ..models.lightglue import (LightGlue,
+                                            convert_lightglue_checkpoint)
+            if str(lg_params_path).endswith(".onnx"):
+                from ..utils.onnx_weights import load_onnx_initializers
+                sd = load_onnx_initializers(lg_params_path)
+            else:
+                import torch
+                sd = torch.load(lg_params_path, map_location="cpu",
+                                weights_only=True)
+            self.lg = LightGlue()
+            self.lg_params = convert_lightglue_checkpoint(sd)
 
     # ------------------------------------------------------------------
     def _extract_impl(self, gray, hh, ww):
@@ -52,11 +69,26 @@ class LoopDetector:
         xy = np.asarray(xy) * np.asarray([W / ww, H / hh])
         return xy, np.asarray(score), np.asarray(valid), np.asarray(desc)
 
-    def match(self, feat_a, feat_b):
+    def match(self, feat_a, feat_b, img_hw=None):
         xy_a, _, va, da = feat_a
         xy_b, _, vb, db = feat_b
-        idx, ok = mutual_nearest_match(jnp.asarray(da), jnp.asarray(db),
-                                       jnp.asarray(va), jnp.asarray(vb))
+        if self.lg is not None and img_hw is not None:
+            from ..models.lightglue import (extract_matches,
+                                            normalize_keypoints)
+            k0 = normalize_keypoints(jnp.asarray(xy_a, jnp.float32),
+                                     img_hw)
+            k1 = normalize_keypoints(jnp.asarray(xy_b, jnp.float32),
+                                     img_hw)
+            scores, _, _ = self.lg.apply(self.lg_params, jnp.asarray(da),
+                                         jnp.asarray(db), k0, k1,
+                                         jnp.asarray(va), jnp.asarray(vb))
+            idx, ok = extract_matches(scores, jnp.asarray(va),
+                                      jnp.asarray(vb))
+        else:
+            idx, ok = mutual_nearest_match(jnp.asarray(da),
+                                           jnp.asarray(db),
+                                           jnp.asarray(va),
+                                           jnp.asarray(vb))
         idx = np.asarray(idx)
         ok = np.asarray(ok)
         return xy_a[ok], xy_b[idx[ok]]
@@ -101,7 +133,8 @@ class LoopDetector:
         """Full detect pipeline; returns rectified history c2w or None."""
         feat_cur = self.extract(cur_img)
         feat_hist = self.extract(hist_img)
-        kp_c, kp_h = self.match(feat_cur, feat_hist)
+        kp_c, kp_h = self.match(feat_cur, feat_hist,
+                                img_hw=cur_img.shape[:2])
         if len(kp_c) < min_matches:
             return None
         intr4 = np.asarray([intr["fv"], intr["fu"], intr["cv"],

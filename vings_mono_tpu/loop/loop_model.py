@@ -19,7 +19,8 @@ class LoopModel:
         self.cfg = cfg
         lcfg = cfg.get("looper", {})
         self.detector = detector if detector is not None else \
-            LoopDetector(cfg, lcfg.get("superpoint_weights"))
+            LoopDetector(cfg, lcfg.get("superpoint_weights"),
+                         lg_params_path=lcfg.get("lightglue_weights"))
         self.min_history = int(lcfg.get("min_history", 35))
         self.min_gap = int(lcfg.get("min_gap_from_last", 20))
         self.search_radius = float(lcfg.get("search_radius", 10.0))

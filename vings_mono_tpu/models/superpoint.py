@@ -134,6 +134,11 @@ def load_superpoint(path=None):
         params = model.init(jax.random.PRNGKey(0),
                             jnp.zeros((1, 64, 64, 1)))
         return model, params
-    import torch
-    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if str(path).endswith(".onnx"):
+        # the reference ships SuperPoint as .onnx (loop/lightglue.py:12)
+        from ..utils.onnx_weights import load_onnx_initializers
+        sd = load_onnx_initializers(path)
+    else:
+        import torch
+        sd = torch.load(path, map_location="cpu", weights_only=True)
     return model, convert_superpoint_checkpoint(sd)
