@@ -47,6 +47,8 @@ def load_rgb(path, resized_hw):
 class ImageFolderDataset:
     """Common scaffolding: a list of (timestamp, rgb path [, depth path])."""
 
+    rotate_ccw = False  # phone/mobile captures are landscape-rotated
+
     def __init__(self, cfg):
         self.cfg = cfg
         self.h, self.w = (int(cfg["frontend"]["image_size"][0]),
@@ -73,6 +75,12 @@ class ImageFolderDataset:
                           np.float32)
 
     def _load_rgb(self, idx):
+        if self.rotate_ccw:
+            img = cv2.rotate(cv2.imread(self.rgb_files[idx]),
+                             cv2.ROTATE_90_COUNTERCLOCKWISE)
+            img = cv2.resize(img, (self.w, self.h))
+            return np.ascontiguousarray(
+                img[..., ::-1]).astype(np.float32) / 255.0
         return load_rgb(self.rgb_files[idx], (self.h, self.w))
 
     def __getitem__(self, idx):
@@ -99,11 +107,59 @@ class ImageFolderDataset:
     def load_gt_dict(self):
         root = self.cfg["dataset"]["root"]
         pose_dir = os.path.join(root, "pose")
-        if not os.path.isdir(pose_dir):
-            return None
-        files = sorted(os.listdir(pose_dir))
-        c2ws = np.asarray([np.loadtxt(os.path.join(pose_dir, f))
-                           for f in files])
-        ts = np.asarray([float(f.replace(".txt", "")) for f in files])
-        order = np.argsort(ts)
-        return {"timestamps": ts[order], "c2ws": c2ws[order]}
+        return load_pose_dir_gt(pose_dir)
+
+
+def load_pose_dir_gt(pose_dir, stem=lambda f: f.replace(".txt", "")):
+    """gt layout shared by most reference loaders: pose/<t>.txt 4x4 c2ws."""
+    if not os.path.isdir(pose_dir):
+        return None
+    files = sorted(os.listdir(pose_dir))
+    c2ws = np.asarray([np.loadtxt(os.path.join(pose_dir, f))
+                       for f in files])
+    ts = np.asarray([float(stem(f)) for f in files])
+    order = np.argsort(ts)
+    return {"timestamps": ts[order], "c2ws": c2ws[order]}
+
+
+class GlobVODataset(ImageFolderDataset):
+    """Folder-of-frames visual-only dataset — the shape shared by most of
+    the reference's VO loaders (waymo.py, hierarchical.py, pocket.py,
+    meganerf.py, ...): frames from one glob pattern, frame-index
+    timestamps, zero IMU, identity extrinsic, gt in pose/<t>.txt.
+
+    Subclasses set `subdir` / `pattern` (and optionally `sort_key`)."""
+
+    subdir = "color"
+    pattern = "*.jpg"
+    sort_key = None  # default lexicographic
+
+    def _prepare(self):
+        root = self.cfg["dataset"]["root"]
+        files = glob.glob(os.path.join(root, self.subdir, self.pattern))
+        self.rgb_files = sorted(files, key=self.sort_key)
+        self.timestamps = list(range(len(self.rgb_files)))
+
+
+class LiveFolderDataset(GlobVODataset):
+    """Live capture folder that keeps growing while SLAM runs — the
+    reference's phone.py/mobile.py pattern: unbounded length, re-scan the
+    folder on every fetch and poll until the requested frame lands on
+    disk (phone.py:30-90)."""
+
+    subdir = "cam0"
+    pattern = "*.png"
+    rotate_ccw = True
+    poll_s = 0.1
+
+    def __len__(self):
+        return 1000000  # live stream: bounded only by the run
+
+    def __getitem__(self, idx):
+        import time
+        while True:
+            self._prepare()
+            if idx < len(self.rgb_files):
+                break
+            time.sleep(self.poll_s)
+        return super().__getitem__(idx)
