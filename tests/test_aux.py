@@ -110,3 +110,26 @@ def test_onnx_initializer_reader(tmp_path):
     weights = load_onnx_initializers(str(p))
     assert "convPa.weight" in weights
     np.testing.assert_array_equal(weights["convPa.weight"], w)
+
+
+def test_frontend_monitor(tmp_path):
+    """Monitor collects per-keyframe state and renders the 1x3 panel."""
+    from vings_mono_tpu.utils.monitor import FrontendMonitor
+
+    class _Video:
+        counter = 3
+        tstamps_host = [0.0, 0.1, 0.2]
+
+        def c2w_matrices(self):
+            return np.tile(np.eye(4)[None], (3, 1, 1))
+
+    class _Frontend:
+        video = _Video()
+        t1 = 3
+        inertial = None
+
+    png = tmp_path / "mon.png"
+    mon = FrontendMonitor({}, save_path=str(png), live=False)
+    mon.record(_Frontend())
+    mon.render()
+    assert png.exists() and png.stat().st_size > 0

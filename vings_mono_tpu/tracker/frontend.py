@@ -80,6 +80,11 @@ class Frontend:
         self.did_rollup = False
         # hook for the VIO fusion layer (set via attach_inertial)
         self.inertial = None
+        # live trajectory/attitude/bias monitor (dbaf_frontend.py:83-90)
+        self.monitor = None
+        if fe.get("show_plot", False):
+            from ..utils.monitor import FrontendMonitor
+            self.monitor = FrontendMonitor(cfg)
 
     def attach_inertial(self, inertial):
         self.inertial = inertial
@@ -165,6 +170,11 @@ class Frontend:
 
         if self.inertial is not None:
             self.inertial.maybe_initialize(self.t1)
+
+        if self.monitor is not None:
+            self.monitor.record(self)
+            if self.did_rollup:  # reference refreshes the panel on rollup
+                self.monitor.render()
 
         self._seed_next()
 
