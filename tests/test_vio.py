@@ -131,3 +131,95 @@ def test_vio_gyro_bias_recovery():
                                        disable_scale=True)
     bg_est = inertial.states[0].b[:3]
     np.testing.assert_allclose(bg_est, bg_true, atol=5e-3)
+
+
+def _fake_video(t1, disp0=1.0):
+    """Minimal stand-in exposing .bufs poses/disps with .replace."""
+    import jax.numpy as jnp
+
+    class _Bufs:
+        def __init__(self, poses, disps):
+            self.poses = poses
+            self.disps = disps
+
+        def replace(self, **kw):
+            return _Bufs(kw.get("poses", self.poses),
+                         kw.get("disps", self.disps))
+
+    class _Video:
+        pass
+
+    v = _Video()
+    ident = jnp.tile(jnp.asarray([0, 0, 0, 0, 0, 0, 1.0], jnp.float32),
+                     (t1, 1))
+    v.bufs = _Bufs(ident, jnp.full((t1, 4, 6), disp0, jnp.float32))
+    v.tstamps_host = [float(i) for i in range(t1)]
+    return v
+
+
+def test_gnss_alignment_and_factors():
+    """maybe_init_gnss recovers heading + metric scale: body states land on
+    the ENU fixes, disparities rescale, and GpsFactors enter the graph."""
+    from vings_mono_tpu.tracker import factor_graph as fg
+    from vings_mono_tpu.utils import geodesy
+
+    cfg = make_cfg()
+    t1 = 10
+    video = _fake_video(t1)
+    inertial = InertialFusion(video, cfg, synth_imu(1.0), np.eye(4),
+                              all_gnss=np.zeros((1, 4)))
+    inertial.imu_enabled = True
+
+    # unscaled VIO trajectory along a line
+    p_w = np.stack([[i, 0.2 * i, 0.0] for i in range(t1)])
+    inertial.states = [fg.FrameState(np.eye(3), p_w[i],
+                                     (p_w[1] - p_w[0]) * FPS)
+                       for i in range(t1)]
+    inertial.preints = [None] * t1
+    inertial.odo_meas = [None] * t1
+
+    # GNSS truth: similarity transform of the trajectory (scale 3, yaw 0.7)
+    s_true, th = 3.0, 0.7
+    Rz = np.array([[np.cos(th), -np.sin(th), 0],
+                   [np.sin(th), np.cos(th), 0], [0, 0, 1.0]])
+    enu = (Rz @ (s_true * (p_w - p_w[0])).T).T
+    ten0 = geodesy.geod2cart(np.deg2rad(30.0), np.deg2rad(114.0), 40.0)
+    Cen = geodesy.Cen(ten0)
+    ecef = ten0[None] + (Cen.T @ enu.T).T
+    inertial.gnss_meas = [ecef[i] if i % 2 == 0 else None
+                          for i in range(t1)]
+
+    assert inertial.maybe_init_gnss(t1)
+    assert inertial.gnss_init_t1 == t1
+    for i in range(0, t1, 2):
+        assert np.linalg.norm(inertial.states[i].p - enu[i]) < 1e-3, i
+    # disparity rescale: world grew by s_true -> disp shrinks by s_true
+    d = np.asarray(video.bufs.disps)
+    assert np.allclose(d, 1.0 / s_true, atol=1e-4)
+    # GNSS position factors now linearize into the window graph
+    fs = inertial._aux_factors(0, t1)
+    gps = [f for f in fs if isinstance(f, fg.GpsFactor)]
+    assert len(gps) == 5
+    r, J, Lam = gps[0].linearize({0: inertial.states[0]})
+    assert np.linalg.norm(r) < 1e-3
+
+
+def test_zupt_gate():
+    """A >3 s stationary interval with tiny velocity pins the new frame
+    with a zero body-velocity measurement."""
+    from vings_mono_tpu.tracker import factor_graph as fg
+    from vings_mono_tpu.tracker.imu import ImuParams, Preintegration
+
+    cfg = make_cfg()
+    cfg["frontend"]["zupt"] = True
+    video = _fake_video(4)
+    inertial = InertialFusion(video, cfg, np.zeros((0, 7)), np.eye(4))
+    inertial.states = [fg.FrameState(np.eye(3), np.zeros(3),
+                                     np.full(3, 0.01)) for _ in range(3)]
+    inertial.preints = [Preintegration(inertial.params) for _ in range(3)]
+    inertial.gnss_meas = [None] * 3
+    inertial.odo_meas = [None] * 3
+    inertial.preints[1].dt = 4.0      # long stationary interval
+    inertial.on_new_frame(4)
+    assert inertial.odo_meas[3] is not None
+    assert np.allclose(inertial.odo_meas[3], 0.0)

@@ -170,6 +170,10 @@ class Frontend:
 
         if self.inertial is not None:
             self.inertial.maybe_initialize(self.t1)
+            # GNSS geo-referencing once IMU fusion is live
+            # (dbaf_frontend.py:392)
+            if self.inertial.maybe_init_gnss(self.t1):
+                self.graph.update(None, None, iters=2, use_inactive=True)
 
         if self.monitor is not None:
             self.monitor.record(self)

@@ -24,6 +24,7 @@ import numpy as np
 from . import factor_graph as fg
 from .imu import ImuParams, Preintegration, so3_exp, so3_log
 from ..ops import lie
+from ..utils import geodesy
 
 DEFAULT_NOISE = {  # dbaf.py:26 hardware constants (scaled MEMS datasheet)
     "acc_n": 0.0003924 * 25,
@@ -80,6 +81,15 @@ class InertialFusion:
         self.vi_init_t1 = -1
         self.vi_init_time = 1e18
         self.vi_warmup = int(fe.get("vi_warmup", 12))
+        # GNSS geo-referencing (dbaf_frontend.py:548-635) + ZUPT gate
+        # (dbaf_frontend.py:226-229)
+        self.zupt = bool(fe.get("zupt", False))
+        self.tbg = np.asarray(fe.get("gnss_lever_arm", [0.0, 0.0, 0.0]),
+                              np.float64)
+        self.gnss_sigma = np.asarray(fe.get("gnss_sigma", [1.0, 1.0, 5.0]),
+                                     np.float64)
+        self.gnss_init_t1 = -1
+        self.ten0 = None            # ECEF reference of the local frame
         self.reinit = False
         self.visual_only = cfg.get("mode", "vo") in ("vo", "vo_nerfslam")
 
@@ -145,6 +155,13 @@ class InertialFusion:
 
         self._attach_gnss_odo(t1 - 1, t_cur)
 
+        # ZUPT: a long stationary interval with near-zero velocity pins the
+        # frame with a zero body-velocity factor (dbaf_frontend.py:226-229)
+        if self.zupt and t1 >= 3 and self.odo_meas[t1 - 1] is None and \
+                self.preints[t1 - 3].dt > 3.0 and \
+                np.linalg.norm(self.states[t1 - 2].v) < 0.025:
+            self.odo_meas[t1 - 1] = np.zeros(3)
+
         if self.imu_enabled:
             import jax.numpy as jnp
             w2c = _w2c_from_wTb(R, p, self.T_bc)
@@ -197,6 +214,8 @@ class InertialFusion:
             self.marg_prior.rekey({k: k - n for k in
                                    self.marg_prior.frames})
         self.vi_init_t1 = max(-1, self.vi_init_t1 - n)
+        if self.gnss_init_t1 > 0:
+            self.gnss_init_t1 = max(1, self.gnss_init_t1 - n)
 
     # ------------------------------------------------------------------
     def set_prior(self, t0, t1):
@@ -223,6 +242,12 @@ class InertialFusion:
             if self.odo_meas[i] is not None:
                 out.append(fg.VelBodyFactor(i, self.odo_meas[i],
                                             np.full(3, 2.0)))
+            if self.gnss_init_t1 > 0 and self.gnss_meas[i] is not None:
+                # ECEF -> local ENU, minus the antenna lever arm
+                # (depth_video.py:504-513)
+                p = geodesy.ecef_to_enu(self.gnss_meas[i], self.ten0)
+                p = p - self.states[i].R @ self.tbg
+                out.append(fg.GpsFactor(i, p, self.gnss_sigma))
         return out
 
     # ------------------------------------------------------------------
@@ -394,6 +419,62 @@ class InertialFusion:
         self.set_prior(self.last_t0, t1)
         self.vi_init_t1 = t1
         self.vi_init_time = self.video.tstamps_host[t1 - 1]
+
+    def maybe_init_gnss(self, t1):
+        """Geo-reference the VIO frame against the GNSS track once IMU
+        fusion is live: estimate heading + metric scale from the first/last
+        GNSS fixes in the recent window, then rotate/scale every state,
+        camera pose and disparity into the local ENU frame
+        (dbaf_frontend.py:548-635). The ECEF reference is the first GNSS
+        fix (the reference took it from ground truth)."""
+        if not self.imu_enabled or self.gnss_init_t1 > 0 or \
+                len(self.all_gnss) == 0:
+            return False
+        idx = [i for i in range(max(0, t1 - 10), t1)
+               if self.gnss_meas[i] is not None]
+        if len(idx) < 2:
+            return False
+        if self.ten0 is None:
+            self.ten0 = np.asarray(self.gnss_meas[idx[0]], np.float64)
+        tn0 = np.asarray([geodesy.ecef_to_enu(self.gnss_meas[i], self.ten0)
+                          for i in idx])
+        tw = np.asarray([self.states[i].p for i in idx])
+        if np.linalg.norm(tn0[-1] - tn0[0]) < 10.0:
+            return False                      # baseline too short
+        heading_w = math.atan2(tw[-1, 1] - tw[0, 1], tw[-1, 0] - tw[0, 0])
+        heading_n0 = math.atan2(tn0[-1, 1] - tn0[0, 1],
+                                tn0[-1, 0] - tn0[0, 0])
+        s = np.linalg.norm(tn0[-1] - tn0[0]) / \
+            max(np.linalg.norm(tw[-1] - tw[0]), 1e-9)
+        dh = heading_n0 - heading_w
+        Rn0w = np.array([[math.cos(dh), -math.sin(dh), 0.0],
+                         [math.sin(dh), math.cos(dh), 0.0],
+                         [0.0, 0.0, 1.0]])
+        # anchor so the first GNSS frame lands on its ENU fix
+        t_off = tn0[0] - Rn0w @ (tw[0] * s)
+
+        for i in range(t1):
+            st = self.states[i]
+            self.states[i] = fg.FrameState(
+                Rn0w @ st.R, Rn0w @ (st.p * s) + t_off, Rn0w @ (st.v * s),
+                st.b)
+
+        # write transformed camera poses + rescaled disparities back
+        import jax.numpy as jnp
+        wTbs = np.stack([np.eye(4)] * t1)
+        for i in range(t1):
+            wTbs[i, :3, :3] = self.states[i].R
+            wTbs[i, :3, 3] = self.states[i].p
+        w2c = np.linalg.inv(wTbs @ self.T_bc[None])
+        tq = lie.se3_from_matrix(jnp.asarray(w2c, jnp.float32))
+        b_ = self.video.bufs
+        self.video.bufs = b_.replace(
+            poses=b_.poses.at[:t1].set(tq),
+            disps=b_.disps.at[:t1].set(b_.disps[:t1] / s))
+
+        self.gnss_init_t1 = t1
+        self.set_prior(self.last_t0, t1)
+        return True
 
     def _wTbs_from_video(self, t1, ignore_lever):
         import jax.numpy as jnp
