@@ -52,8 +52,14 @@ def run(cfg, save_dir, max_frames=None, on_frame=None, resume=None,
     if cfg.get("mode") == "vio":
         from ..tracker.vio import InertialFusion
         imu = dataset.preload_imu()
+        # optional GNSS/wheel-odometry streams [(M,4) t,xyz] when the
+        # dataset provides them (the reference wires these by hand,
+        # dbaf_frontend.py:43)
+        gnss = getattr(dataset, "preload_gnss", lambda: None)()
+        odo = getattr(dataset, "preload_odo", lambda: None)()
         tracker.frontend.attach_inertial(InertialFusion(
-            tracker.video, cfg, imu, np.asarray(cfg["frontend"]["c2i"])))
+            tracker.video, cfg, imu, np.asarray(cfg["frontend"]["c2i"]),
+            all_gnss=gnss, all_odo=odo))
 
     if resume:
         from ..utils.checkpoint import load_session
