@@ -223,3 +223,17 @@ def test_zupt_gate():
     inertial.on_new_frame(4)
     assert inertial.odo_meas[3] is not None
     assert np.allclose(inertial.odo_meas[3], 0.0)
+
+
+def test_imu_gap_gets_loose_params():
+    """A >25 ms gap in the IMU stream inflates the preintegration noise
+    (the reference's 'loose' parameter switch)."""
+    cfg = make_cfg()
+    imu = synth_imu(1.0)
+    gappy = np.concatenate([imu[:20], imu[28:]])  # 80 ms hole
+    video = _fake_video(4)
+    inertial = InertialFusion(video, cfg, gappy, np.eye(4))
+    pre_gap = inertial._integrate_interval(0.15, 0.35)
+    pre_ok = inertial._integrate_interval(0.5, 0.7)
+    assert pre_gap.params.acc_n > pre_ok.params.acc_n * 10
+    assert pre_ok.params.acc_n == inertial.params.acc_n

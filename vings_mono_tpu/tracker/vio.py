@@ -109,15 +109,20 @@ class InertialFusion:
         self.cur_imu_cursor = np.searchsorted(self.all_imu[:, 0], ts[-1])
 
     def _integrate_interval(self, t_a, t_b, bias=None):
-        pre = Preintegration(self.params,
-                             bg=None if bias is None else bias[:3],
-                             ba=None if bias is None else bias[3:])
         m = (self.all_imu[:, 0] >= t_a) & (self.all_imu[:, 0] < t_b)
         rows = self.all_imu[m]
+        # [dt, acc(3), gyro_rad(3)] batch, closing the tail to t_b
+        dts = np.diff(np.concatenate([[t_a], rows[:, 0]])) \
+            if len(rows) else np.zeros(0)
+        # IMU stream gaps >25 ms get the inflated "loose" noise params
+        # (multi_sensor.py:86-104)
+        params = self.params.loose() if len(dts) and dts.max() > 0.025 \
+            else self.params
+        pre = Preintegration(params,
+                             bg=None if bias is None else bias[:3],
+                             ba=None if bias is None else bias[3:])
         if len(rows) == 0:
             return pre
-        # [dt, acc(3), gyro_rad(3)] batch, closing the tail to t_b
-        dts = np.diff(np.concatenate([[t_a], rows[:, 0]]))
         batch = np.concatenate(
             [dts[:, None], rows[:, 4:7], np.deg2rad(rows[:, 1:4])], axis=1)
         if t_b > rows[-1, 0]:
