@@ -7,15 +7,76 @@ import numpy as np
 
 
 def test_dryrun_multichip(cpu_devices):
+    # no monkeypatching: dryrun_multichip itself must fall back to the cpu
+    # backend's virtual devices (exactly what the driver environment needs)
     sys.path.insert(0, "/root/repo")
     import __graft_entry__ as g
+    g.dryrun_multichip(8)
+
+
+def _tile_step_inputs(cpu_devices, n_dev):
     import jax
-    orig = jax.devices
-    try:
-        jax.devices = lambda *a: (list(cpu_devices) if not a else orig(*a))
-        g.dryrun_multichip(8)
-    finally:
-        jax.devices = orig
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from vings_mono_tpu.mapper.state import empty_state, adam_init
+    from vings_mono_tpu.parallel.mesh import make_mesh, replicate
+
+    mesh = make_mesh(devices=cpu_devices[:n_dev], dp=n_dev)
+    H = W = 32
+    K = 8
+    rng = np.random.default_rng(3)
+    state = empty_state(512)
+    n = 200
+    z = rng.uniform(2.0, 6.0, size=n).astype(np.float32)
+    xyz = np.stack([(rng.uniform(0, 1, n) - 0.5) * z,
+                    (rng.uniform(0, 1, n) - 0.5) * z, z], -1)
+    state = state.replace(
+        xyz=state.xyz.at[:n].set(jnp.asarray(xyz)),
+        rgb=state.rgb.at[:n].set(
+            jnp.asarray(rng.uniform(0, 1, (n, 3)), np.float32)),
+        log_scale=state.log_scale.at[:n].set(-1.5),
+        logit_opacity=state.logit_opacity.at[:n].set(1.0),
+        alive=state.alive.at[:n].set(True))
+    opt = adam_init(state)
+    images = jnp.asarray(rng.uniform(0, 1, (K, 3, H, W)), jnp.float32)
+    depths = jnp.asarray(rng.uniform(2, 6, (K, 1, H, W)), jnp.float32)
+    covs = jnp.full((K, 1, H, W), 0.01, jnp.float32)
+    w2cs = jnp.tile(jnp.eye(4, dtype=jnp.float32)[None], (K, 1, 1))
+    intr4 = jnp.asarray([30.0, 30.0, W / 2, H / 2], jnp.float32)
+    with mesh:
+        state, opt = replicate(mesh, (state, opt))
+        sh = NamedSharding(mesh, P("dp"))
+        batch = [jax.device_put(x, sh) for x in
+                 (images, depths, covs, w2cs)]
+    return mesh, state, opt, batch, intr4, H, W
+
+
+def test_sharded_tile_step_matches_single_device(cpu_devices):
+    """The dp-sharded Pallas-tile mapper step must be numerically identical
+    to the same step on a 1-device mesh (VERDICT r1 item 3)."""
+    import jax
+    from vings_mono_tpu.parallel.mesh import (sharded_tile_grads,
+                                              sharded_tile_train_step)
+
+    outs = []
+    for n_dev in (1, 8):
+        mesh, state, opt, batch, intr4, H, W = _tile_step_inputs(
+            cpu_devices, n_dev)
+        with mesh:
+            grads, vis, loss = sharded_tile_grads(
+                state, opt, *batch, intr4, mesh=mesh, height=H, width=W,
+                interpret=True)
+            s2, o2, loss2 = sharded_tile_train_step(
+                state, opt, *batch, intr4, mesh=mesh, height=H, width=W,
+                interpret=True)
+        assert np.isfinite(float(loss2))
+        outs.append((jax.device_get(grads), np.asarray(vis), float(loss)))
+    g1, v1, l1 = outs[0]
+    g8, v8, l8 = outs[1]
+    assert abs(l1 - l8) < 1e-5 * max(1.0, abs(l1))
+    np.testing.assert_array_equal(v1, v8)
+    for k in g1:
+        np.testing.assert_allclose(g1[k], g8[k], rtol=2e-4, atol=1e-6)
 
 
 def test_entry_compiles_cpu(cpu_devices):

@@ -85,13 +85,32 @@ def bin_surfels(proj: ProjectedSurfels, *, height: int, width: int,
     sel = order[:v_cap].astype(jnp.int32)          # row i == depth rank i
     visible = proj.visible[sel]
 
-    # ---- candidate tiles per Gaussian (bbox clamped to side x side)
+    # ---- candidate tiles per Gaussian (bbox clamped to side x side).
+    # Anisotropic per-axis extents from the linearized screen covariance +
+    # an opacity-aware cutoff (alpha = opac*exp(-q/2) >= 1/255 bounds the
+    # footprint at q_cut = 2 ln(255 opac)) shrink the bbox vs the old
+    # circumscribed-circle radius; the exact ellipse/rect test below then
+    # drops the bbox tiles the ellipse doesn't touch (corner tiles, and
+    # most of the row/column for elongated surfels).
+    from .projection import PK_OPAC
     px, py = proj.center2d[sel, 0], proj.center2d[sel, 1]
-    r = proj.radius[sel]
-    tx0 = jnp.clip(jnp.floor((px - r) / tile), 0, ntx - 1).astype(jnp.int32)
-    ty0 = jnp.clip(jnp.floor((py - r) / tile), 0, nty - 1).astype(jnp.int32)
-    tx1 = jnp.clip(jnp.floor((px + r) / tile), 0, ntx - 1).astype(jnp.int32)
-    ty1 = jnp.clip(jnp.floor((py + r) / tile), 0, nty - 1).astype(jnp.int32)
+    s00 = jnp.clip(proj.cov2d[sel, 0], 1e-8)
+    s01 = proj.cov2d[sel, 1]
+    s11 = jnp.clip(proj.cov2d[sel, 2], 1e-8)
+    opac = proj.packed[sel, PK_OPAC]
+    q_cut = jnp.clip(2.0 * jnp.log(jnp.clip(opac, 1e-6) * 255.0), 0.05)
+    sig = jnp.sqrt(q_cut)
+    # the coverage is min(rho3d, rho2d) with rho2d = 2*d^2: the low-pass
+    # filter alone reaches d = sqrt(q_cut/2) <= 2.36 px, and the ellipse is
+    # a center linearization of the exact ray-splat rho3d — 2.5 px of slack
+    # covers both
+    MARGIN = 2.5
+    rx = sig * jnp.sqrt(s00) + MARGIN
+    ry = sig * jnp.sqrt(s11) + MARGIN
+    tx0 = jnp.clip(jnp.floor((px - rx) / tile), 0, ntx - 1).astype(jnp.int32)
+    ty0 = jnp.clip(jnp.floor((py - ry) / tile), 0, nty - 1).astype(jnp.int32)
+    tx1 = jnp.clip(jnp.floor((px + rx) / tile), 0, ntx - 1).astype(jnp.int32)
+    ty1 = jnp.clip(jnp.floor((py + ry) / tile), 0, nty - 1).astype(jnp.int32)
     # clamp the span, keeping the center tile inside
     ctx = jnp.clip((px / tile).astype(jnp.int32), tx0, tx1)
     cty = jnp.clip((py / tile).astype(jnp.int32), ty0, ty1)
@@ -107,6 +126,35 @@ def bin_surfels(proj: ProjectedSurfels, *, height: int, width: int,
     ty = ty0[:, None] + dyk
     cand_valid = (visible[:, None] & (tx <= tx1[:, None])
                   & (ty <= ty1[:, None]))
+
+    # exact ellipse/tile-rect intersection: minimum of the conic quadratic
+    # q(p) = (p-c)^T Sigma^{-1} (p-c) over the (margin-expanded) tile rect —
+    # interior, else the min over each of the 4 edges with clamped argmin.
+    # Keep the candidate iff q_min <= q_cut.
+    detS = jnp.clip(s00 * s11 - s01 * s01, 1e-12)
+    A = (s11 / detS)[:, None]                    # conic xx
+    B = (-s01 / detS)[:, None]                   # conic xy
+    D = (s00 / detS)[:, None]                    # conic yy
+    rA = 1.0 / A
+    rD = 1.0 / D
+    x0 = tx.astype(jnp.float32) * tile - MARGIN - px[:, None]
+    x1 = tx.astype(jnp.float32) * tile + (tile - 1) + MARGIN - px[:, None]
+    y0 = ty.astype(jnp.float32) * tile - MARGIN - py[:, None]
+    y1 = ty.astype(jnp.float32) * tile + (tile - 1) + MARGIN - py[:, None]
+    inside = (x0 <= 0) & (0 <= x1) & (y0 <= 0) & (0 <= y1)
+
+    def q_edge_x(xe):
+        ys = jnp.clip(-B * xe * rD, y0, y1)
+        return (A * xe + 2.0 * B * ys) * xe + D * ys * ys
+
+    def q_edge_y(ye):
+        xs = jnp.clip(-B * ye * rA, x0, x1)
+        return (D * ye + 2.0 * B * xs) * ye + A * xs * xs
+
+    q_min = jnp.minimum(jnp.minimum(q_edge_x(x0), q_edge_x(x1)),
+                        jnp.minimum(q_edge_y(y0), q_edge_y(y1)))
+    q_min = jnp.where(inside, 0.0, q_min)
+    cand_valid &= q_min <= q_cut[:, None]
     tile_id = (ty * ntx + tx).astype(jnp.uint32)
 
     # ---- single sort groups by (tile, depth): row index IS the depth rank

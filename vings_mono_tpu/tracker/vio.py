@@ -76,7 +76,11 @@ class InertialFusion:
         self.cur_target = None
         self.cur_weight = None
 
-        self.init_pose_sigma = np.array([1.0, 1.0, 1e-4, 1.0, 1.0, 1.0])
+        # The reference's [1,1,1e-4,1,1,1] (dbaf.py:27) is in GTSAM's
+        # rotation-first Pose3 tangent ordering (the 1e-4 pins YAW); our
+        # factor graph uses translation-first tangents, so the yaw-gauge
+        # anchor sits in the last slot here.
+        self.init_pose_sigma = np.array([1.0, 1.0, 1.0, 1.0, 1.0, 1e-4])
         self.init_bias_sigma = np.full(6, 0.1)
         self.vi_init_t1 = -1
         self.vi_init_time = 1e18
@@ -477,6 +481,12 @@ class InertialFusion:
             poses=b_.poses.at[:t1].set(tq),
             disps=b_.disps.at[:t1].set(b_.disps[:t1] / s))
 
+        # the marginal prior's linearization states are in the pre-transform
+        # frame; keeping it would pull states back toward the old
+        # heading/scale (the reference's init_GNSS shares this bug — it
+        # never updates marg_factor's linearizationPoint). Drop it; it
+        # re-accumulates on the next marginalization.
+        self.marg_prior = None
         self.gnss_init_t1 = t1
         self.set_prior(self.last_t0, t1)
         return True

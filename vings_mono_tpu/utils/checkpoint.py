@@ -66,6 +66,17 @@ def save_session(path, tracker, mapper, inertial=None):
             "imu_enabled": inertial.imu_enabled,
             "vi_init_t1": inertial.vi_init_t1,
             "last_t0": inertial.last_t0, "last_t1": inertial.last_t1,
+            # marginal/anchor priors + geo-referencing state: without these
+            # a resumed VIO session is unanchored (vi_init_t1 is restored so
+            # maybe_initialize/set_prior never re-run) and a geo-referenced
+            # run would re-derive a fresh ECEF reference
+            "marg_prior": inertial.marg_prior,
+            "prior_factors": inertial.prior_factors,
+            "gnss_init_t1": inertial.gnss_init_t1,
+            "ten0": inertial.ten0,
+            "vi_init_time": inertial.vi_init_time,
+            "cur_ii": inertial.cur_ii, "cur_jj": inertial.cur_jj,
+            "cur_valid": inertial.cur_valid,
         }
     with open(os.path.join(path, "host.pkl"), "wb") as f:
         pickle.dump(host, f)
@@ -165,3 +176,12 @@ def load_session(path, tracker, mapper, inertial=None):
         inertial.last_t1 = hi["last_t1"]
         inertial.gnss_meas = [None] * len(inertial.states)
         inertial.odo_meas = [None] * len(inertial.states)
+        if "marg_prior" in hi:
+            inertial.marg_prior = hi["marg_prior"]
+            inertial.prior_factors = hi["prior_factors"]
+            inertial.gnss_init_t1 = hi["gnss_init_t1"]
+            inertial.ten0 = hi["ten0"]
+            inertial.vi_init_time = hi["vi_init_time"]
+            inertial.cur_ii = hi["cur_ii"]
+            inertial.cur_jj = hi["cur_jj"]
+            inertial.cur_valid = hi["cur_valid"]
