@@ -19,6 +19,9 @@ import numpy as np
 
 def main():
     import jax
+
+    from vings_mono_tpu.utils.profiling import enable_compile_cache
+    enable_compile_cache()
     import jax.numpy as jnp
 
     from vings_mono_tpu.tracker.tracker import Tracker
@@ -39,8 +42,9 @@ def main():
             "rollup_at": 40, "rollup_n": 16, "save_buffer": 256,
         },
         "training_args": {"iters": 50, "num_keyframe": 5},
-        "mapper": {"capacity": 1 << 18, "pair_capacity": 1 << 20,
-                   "chunk": 256, "side": 4, "kf_capacity": 8,
+        "mapper": {"capacity": 1 << 18, "pair_capacity": 1 << 18,
+                   "chunk": 128, "side": 3, "visible_capacity": 1 << 16,
+                   "kf_capacity": 8,
                    "points_per_frame": 20000, "points_first_frame": 30000},
     })
 

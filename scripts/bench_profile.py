@@ -11,6 +11,9 @@ from vings_mono_tpu.mapper.mapper import GaussianMapper
 from vings_mono_tpu.middleware import judge_and_package
 from vings_mono_tpu.utils.config import load_config
 from vings_mono_tpu.utils.profiling import StageTimer
+from vings_mono_tpu.utils.profiling import enable_compile_cache
+
+enable_compile_cache()
 
 H, W = 240, 432
 cfg = load_config(overrides={
@@ -25,8 +28,9 @@ cfg = load_config(overrides={
         "rollup_at": 40, "rollup_n": 16, "save_buffer": 256,
     },
     "training_args": {"iters": 50, "num_keyframe": 5},
-    "mapper": {"capacity": 1 << 18, "pair_capacity": 1 << 20,
-               "chunk": 256, "side": 4, "kf_capacity": 8,
+    "mapper": {"capacity": 1 << 18, "pair_capacity": 1 << 18,
+               "chunk": 128, "side": 3, "visible_capacity": 1 << 16,
+               "kf_capacity": 8,
                "points_per_frame": 20000, "points_first_frame": 30000},
 })
 

@@ -98,3 +98,56 @@ def test_hessian_retract_roundtrip_matches_full_step(rng):
                                atol=1e-6)
     np.testing.assert_allclose(np.asarray(d_full), np.asarray(d_half),
                                atol=1e-6)
+
+
+def _groups(ii, jj, d):
+    """Host helper mirroring tracker/backend.py: per-source-frame capped
+    edge adjacency for the edge-sparse Schur."""
+    ii = np.asarray(ii)
+    T = int(max(ii.max(), np.asarray(jj).max())) + 1
+    gi = np.zeros((T, d), np.int32)
+    gv = np.zeros((T, d), bool)
+    for m in range(T):
+        es = np.where(ii == m)[0][:d]
+        gi[m, :len(es)] = es
+        gv[m, :len(es)] = True
+    return jnp.asarray(gi), jnp.asarray(gv)
+
+
+def test_ba_global_matches_dense_window(rng):
+    """ba_global (edge-sparse Schur over capped adjacency) must reproduce
+    the dense-window ba step for the same edges/fixed pose."""
+    poses_gt, disps, intr, ii, jj, target, weight, eta = make_problem(rng)
+    P = poses_gt.shape[0]
+    pert = jnp.asarray(rng.normal(size=(P, 6)) * 0.02, jnp.float32)
+    pert = pert.at[0].set(0.0)
+    poses0 = lie.se3_retr(poses_gt, pert)
+    valid = jnp.ones((ii.shape[0],), bool)
+
+    p_a, d_a = ba.ba(target, weight, eta, poses0, disps, intr, ii, jj,
+                     valid, fixedp=1, iters=3)
+
+    gi, gv = _groups(ii, jj, d=4)
+    free = jnp.arange(P) >= 1
+    p_b, d_b = ba.ba_global(target, weight, eta, poses0, disps, intr,
+                            ii, jj, valid, gi, gv, free, iters=3)
+    np.testing.assert_allclose(np.asarray(p_a), np.asarray(p_b), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(d_a), np.asarray(d_b), atol=2e-4)
+
+
+def test_ba_global_converges_to_gt(rng):
+    poses_gt, disps, intr, ii, jj, target, weight, eta = make_problem(
+        rng, P=5)
+    P = poses_gt.shape[0]
+    pert = jnp.asarray(rng.normal(size=(P, 6)) * 0.03, jnp.float32)
+    pert = pert.at[0].set(0.0)
+    poses0 = lie.se3_retr(poses_gt, pert)
+    err0 = rel_pose_err(poses0, poses_gt)
+    valid = jnp.ones((ii.shape[0],), bool)
+    gi, gv = _groups(ii, jj, d=6)
+    free = jnp.arange(P) >= 1
+    p1, d1 = ba.ba_global(target, weight, eta, poses0, disps, intr,
+                          ii, jj, valid, gi, gv, free, iters=6)
+    err1 = rel_pose_err(p1, poses_gt)
+    assert err1 < err0 * 0.2, (err0, err1)
+    assert np.all(np.asarray(d1) >= 0)

@@ -1,0 +1,126 @@
+"""Global BA terminate pass (tracker/backend.py): with oracle flow
+targets, the full-trajectory solve must pull drifted poses back to the
+ground truth (reference visual_frontend.py:1460-1542 backend/terminate)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vings_mono_tpu.ops import lie, projective as pops
+from vings_mono_tpu.tracker.backend import GlobalBA
+from vings_mono_tpu.tracker.video import DepthVideo
+from vings_mono_tpu.utils.config import load_config
+
+H, W = 64, 96
+h, w = H // 8, W // 8
+F = 40.0
+
+
+class _OracleFnet:
+    def __call__(self, params, img):
+        B = img.shape[0]
+        return jnp.zeros((B, img.shape[1] // 8, img.shape[2] // 8, 128))
+
+
+class _OracleCnet:
+    def __call__(self, params, img):
+        B = img.shape[0]
+        z = jnp.zeros((B, img.shape[1] // 8, img.shape[2] // 8, 128))
+        return z, z
+
+
+class _OracleUpdate:
+    """delta = (seeded GT target) - coords1, recovered from the motion
+    features: motn = [coords1-coords0, tgt_old-coords1]."""
+
+    def __call__(self, params, net, inp, corr, motn, ii, num_frames,
+                 upsample):
+        delta = motn[..., 2:4]
+        weight = jnp.ones_like(delta)
+        eta = jnp.full((num_frames,) + net.shape[1:3], 1e-2, jnp.float32)
+        upmask = jnp.zeros((num_frames,) + net.shape[1:3] + (576,),
+                           jnp.float32)
+        return net, delta, weight, eta, upmask
+
+
+class _FakeTracker:
+    pass
+
+
+def _ate(poses_tq, gt_tq):
+    t = np.asarray(lie.se3_matrix(lie.se3_inv(jnp.asarray(
+        poses_tq))))[:, :3, 3]
+    g = np.asarray(lie.se3_matrix(lie.se3_inv(jnp.asarray(
+        gt_tq))))[:, :3, 3]
+    return float(np.sqrt(((t - g) ** 2).sum(-1).mean()))
+
+
+def test_global_ba_recovers_drifted_trajectory(rng):
+    T = 6
+    xi = np.zeros((T, 6), np.float32)
+    for k in range(1, T):
+        xi[k, :3] = xi[k - 1, :3] + rng.normal(size=3) * 0.06
+        xi[k, 3:] = xi[k - 1, 3:] + rng.normal(size=3) * 0.015
+    gt_poses = lie.se3_exp(jnp.asarray(xi))                     # (T, 7) w2c
+    gt_disps = jnp.asarray(rng.uniform(0.25, 0.5, size=(T, h, w)),
+                           jnp.float32)
+    intr8 = np.asarray([F / 8, F / 8, w / 2, h / 2], np.float32)
+
+    # drifted online estimate: growing noise on later frames
+    pert = np.zeros((T, 6), np.float32)
+    for k in range(1, T):
+        pert[k] = pert[k - 1] + rng.normal(size=6) * np.asarray(
+            [0.02, 0.02, 0.02, 0.004, 0.004, 0.004])
+    drift = lie.se3_retr(gt_poses, jnp.asarray(pert))
+
+    cfg = load_config(overrides={
+        "frontend": {"buffer": 8, "save_buffer": 16, "filter_thresh": 0.0,
+                     "keyframe_thresh": 0.0},
+        "backend": {"steps": 3, "iters": 3, "thresh": 1e9, "chunk": 8,
+                    "degree_cap": 6, "encode_batch": 4},
+    })
+    video = DepthVideo(cfg, H, W)
+    ns = 4                                  # 4 saved + 2 live keyframes
+    video.count_save = ns
+    video.poses_save[:ns] = np.asarray(drift[:ns])
+    video.disps_save[:ns] = np.asarray(gt_disps[:ns])
+    video.images_save[:ns] = rng.uniform(
+        0, 1, size=(ns, H, W, 3)).astype(np.float32)
+    nl = T - ns
+    video.counter = nl
+    video.bufs = video.bufs.replace(
+        poses=video.bufs.poses.at[:nl].set(drift[ns:]),
+        disps=video.bufs.disps.at[:nl].set(gt_disps[ns:]),
+        images=video.bufs.images.at[:nl].set(jnp.asarray(rng.uniform(
+            0, 1, size=(nl, H, W, 3)), jnp.float32)),
+        intrinsics=video.bufs.intrinsics.at[:].set(jnp.asarray(intr8)))
+
+    tracker = _FakeTracker()
+    tracker.video = video
+    tracker.cfg = cfg
+    tracker.params = {}
+    tracker.fnet_apply = _OracleFnet()
+    tracker.cnet_apply = _OracleCnet()
+    tracker.update_apply = _OracleUpdate()
+
+    gba = GlobalBA(tracker, cfg)
+
+    def gt_targets(ii_p, jj_p):
+        coords, _ = pops.projective_transform(
+            gt_poses, gt_disps, jnp.tile(jnp.asarray(intr8)[None], (T, 1)),
+            jnp.asarray(np.clip(ii_p, 0, T - 1), jnp.int32),
+            jnp.asarray(np.clip(jj_p, 0, T - 1), jnp.int32))
+        return jnp.moveaxis(coords, -1, 1)
+
+    gba.target_fn = gt_targets
+
+    err0 = _ate(np.concatenate([video.poses_save[:ns],
+                                np.asarray(video.bufs.poses[:nl])]),
+                np.asarray(gt_poses))
+    stats = gba.run()
+    assert not stats["skipped"]
+    assert stats["edges"] >= T - 1
+    after = np.concatenate([video.poses_save[:ns],
+                            np.asarray(video.bufs.poses[:nl])])
+    err1 = _ate(after, np.asarray(gt_poses))
+    assert err1 < 0.3 * err0, (err0, err1)

@@ -105,6 +105,68 @@ def test_transform_gaussians_rigid():
     np.testing.assert_allclose(n_new, n_old @ T[:3, :3].T, atol=1e-4)
 
 
+def test_rectify_tracker_depth_writeback():
+    """After rectification the saved disparities are rewritten from depth
+    rendered off the corrected map, and 8x8-pooled into disps_save
+    (reference loop_rectify.py:415-437) — VERDICT r1 item 5a."""
+    import sys
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from synthetic import make_viz_out
+    from vings_mono_tpu.mapper.mapper import GaussianMapper
+    from vings_mono_tpu.tracker.video import DepthVideo
+    from vings_mono_tpu.loop.rectify import rectify_tracker
+
+    rng = np.random.default_rng(7)
+    viz_out, _ = make_viz_out(rng, n_kf=3)
+    cfg = load_config(overrides={
+        "frontend": {"buffer": 8, "save_buffer": 16},
+        "mapper": {"capacity": 4096, "pair_capacity": 4096, "chunk": 64,
+                   "side": 5, "kf_capacity": 4, "points_per_frame": 512,
+                   "points_first_frame": 512, "impl": "naive"},
+        "training_args": {"iters": 10, "num_keyframe": 2},
+    })
+    m = GaussianMapper(cfg)
+    m.run(viz_out)
+
+    video = DepthVideo(cfg, 32, 32)
+    video.count_save = 3
+    video.disps_up_save[:3] = 123.0          # stale saved disparities
+    video.disps_save[:3] = 123.0
+
+    class T:
+        pass
+
+    tracker = T()
+    tracker.video = video
+    new_c2ws = np.asarray(viz_out["poses"])   # corrected poses
+    rectify_tracker(tracker, new_c2ws, mapper=m,
+                    intrinsic=viz_out["intrinsic"], loop_start=0,
+                    loop_end=2)
+    for g in range(3):
+        rets = m.render_at(np.linalg.inv(new_c2ws[g]), viz_out["intrinsic"])
+        depth = np.asarray(rets["depth"])[0]
+        covered = depth > 0
+        assert covered.sum() > 50
+        np.testing.assert_allclose(
+            video.disps_up_save[g][covered], 1.0 / depth[covered],
+            rtol=1e-4)
+        # uncovered pixels keep the stale value
+        if (~covered).sum():
+            assert (video.disps_up_save[g][~covered] == 123.0).all()
+        # pooled low-res disparity = mean of each 8x8 block's center 2x2
+        blocks = video.disps_up_save[g].reshape(4, 8, 4, 8).transpose(
+            0, 2, 1, 3)
+        np.testing.assert_allclose(
+            video.disps_save[g],
+            blocks[..., 3:5, 3:5].reshape(4, 4, -1).mean(-1), rtol=1e-5)
+        # poses written back as w2c tq
+        from vings_mono_tpu.ops import lie
+        w2c = np.asarray(lie.se3_matrix(jnp.asarray(
+            video.poses_save[g][None])))[0]
+        np.testing.assert_allclose(w2c, np.linalg.inv(new_c2ws[g]),
+                                   atol=1e-5)
+
+
 def test_candidate_policy():
     cfg = load_config()
     lm = LoopModel.__new__(LoopModel)

@@ -50,6 +50,34 @@ class DynamicModel:
             err_mask.astype(np.uint8), connectivity=8)
         return [labels == k for k in range(1, n)]
 
+    def apply_to_viz_out(self, viz_out, mapper):
+        """Mask the newest keyframe's dynamic pixels out of the mapper loss
+        (run.py wiring of the reference: FastSAM mask -> viz_out pixel_mask
+        consumed by get_loss; dynamic_utils.py:64-94 + run.py:77-87).
+
+        Renders the current map at the new keyframe's pose, segments the
+        high-error regions, and writes ~dynamic into
+        viz_out['pixel_mask'][kf]. No-op until the map exists."""
+        if not mapper.initialized:
+            return viz_out
+        import jax
+        import jax.numpy as jnp
+        kf = int(viz_out["n_valid"]) - 1
+        w2c = np.linalg.inv(np.asarray(
+            jax.device_get(viz_out["poses"][kf]), np.float64))
+        rets = mapper.render_at(w2c, viz_out["intrinsic"])
+        pred_rgb = np.moveaxis(
+            np.asarray(jax.device_get(rets["rgb"]), np.float32), 0, -1)
+        gt_rgb = np.asarray(jax.device_get(viz_out["images"][kf]),
+                            np.float32)
+        dyn = self.get_dynamic_mask(gt_rgb, pred_rgb)
+        if not dyn.any():
+            return viz_out
+        viz_out = dict(viz_out)
+        viz_out["pixel_mask"] = jnp.asarray(viz_out["pixel_mask"]).at[
+            kf].set(jnp.asarray(~dyn))
+        return viz_out
+
     def get_dynamic_mask(self, gt_rgb, pred_rgb, pred_ssim=None):
         """gt/pred (H, W, 3) in [0,1] -> bool (H, W) mask of dynamic pixels
         (dynamic_utils.py:64-94: segments overlapping the top-decile

@@ -129,7 +129,7 @@ class LoopDetector:
     # ------------------------------------------------------------------
     def detect(self, mapper, cur_img, cur_depth, cur_c2w, hist_img,
                hist_c2w_guess, intr, min_matches=40,
-               sanity_dist=15.0, verify_thresh=0.15):
+               sanity_dist=15.0, verify_thresh=0.15, verify_distance=60.0):
         """Full detect pipeline; returns rectified history c2w or None."""
         feat_cur = self.extract(cur_img)
         feat_hist = self.extract(hist_img)
@@ -148,8 +148,12 @@ class LoopDetector:
                 > sanity_dist:
             return None
         # render-verify (loop_detect.py:120-193): the map seen from the
-        # recovered pose must photometrically match the history image
-        rets = mapper.render_at(np.linalg.inv(new_c2w), intr)
+        # recovered pose must photometrically match the history image.
+        # Distance-culled like the reference's render_indistance 60 m
+        # render (gaussian_base.py:238-332) — fast at km scale, and far
+        # geometry can't pollute the check.
+        rets = mapper.render_at(np.linalg.inv(new_c2w), intr,
+                                max_dist=verify_distance)
         acc = np.asarray(rets["accum"])[0]
         dep = np.asarray(rets["depth"])[0]
         m = (acc > 0.95) & (dep < 15.0)

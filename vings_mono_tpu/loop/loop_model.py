@@ -112,7 +112,12 @@ class LoopModel:
             old_c2ws = c2ws.copy()
             new_c2ws = rectify_poses(c2ws, cand, cur_gid, target_cur)
             rectify_gaussians(mapper, old_c2ws[:len(new_c2ws)], new_c2ws)
-            rectify_tracker(tracker, new_c2ws)
+            # depth writeback over the rectified span keeps saved
+            # disparities consistent with the re-anchored map
+            # (ref loop_rectify.py:415-437)
+            rectify_tracker(tracker, new_c2ws, mapper=mapper,
+                            intrinsic=intr, loop_start=cand,
+                            loop_end=cur_gid)
             self.closed_at.append(cur_gid)
             return True
         return False

@@ -110,18 +110,55 @@ def rectify_gaussians(mapper, old_c2ws, new_c2ws, score_prune=0.1):
     return int(jnp.sum(kill))
 
 
-def rectify_tracker(tracker, new_c2ws):
+def rectify_tracker(tracker, new_c2ws, mapper=None, intrinsic=None,
+                    loop_start=0, loop_end=None):
     """Write the corrected keyframe poses back: save buffers (host) + live
-    window (device). new_c2ws covers global kf ids [0, len)."""
-    n_save = tracker.video.count_save
+    window (device). new_c2ws covers global kf ids [0, len).
+
+    When `mapper` (+ `intrinsic`) is given, also rewrite the saved
+    disparities over the rectified loop span [loop_start, loop_end]: depth
+    rendered from the corrected map replaces disps_up_save where covered,
+    and the 8x8-block center 2x2 mean pools it into disps_save (the
+    reference's loop_rectify.py:415-437). Without this, stale saved
+    disparities poison later loop PnP and middleware replays. The live
+    window is then synced from the save buffers (ref :428-437)."""
+    video = tracker.video
+    n_save = video.count_save
     n_total = len(new_c2ws)
     w2cs = np.linalg.inv(np.asarray(new_c2ws))
     tq = np.asarray(lie.se3_from_matrix(jnp.asarray(w2cs, jnp.float32)))
-    tracker.video.poses_save[:min(n_save, n_total)] = \
-        tq[:min(n_save, n_total)]
-    n_live = min(tracker.video.counter, n_total - n_save)
+    video.poses_save[:min(n_save, n_total)] = tq[:min(n_save, n_total)]
+
+    if mapper is not None and intrinsic is not None:
+        # the save arrays are indexed by global kf id with headroom, so the
+        # rewrite spans live-range ids too (the live rows then sync below,
+        # mirroring the reference's two-step write)
+        cap = len(video.poses_save)
+        end = min(n_total, cap) if loop_end is None \
+            else min(loop_end + 1, n_total, cap)
+        for g in range(int(loop_start), end):
+            rets = mapper.render_at(w2cs[g], intrinsic)
+            depth = np.asarray(jax.device_get(rets["depth"]))[0]  # (H, W)
+            disp = np.where(depth > 0, 1.0 / np.clip(depth, 1e-6, None),
+                            video.disps_up_save[g])
+            video.disps_up_save[g] = disp
+            H, W = disp.shape
+            blocks = disp.reshape(H // 8, 8, W // 8, 8).transpose(0, 2, 1, 3)
+            video.disps_save[g] = blocks[..., 3:5, 3:5].reshape(
+                H // 8, W // 8, -1).mean(-1)
+
+    n_live = min(video.counter, n_total - n_save)
     if n_live > 0:
-        b = tracker.video.bufs
-        tracker.video.bufs = b.replace(
-            poses=b.poses.at[:n_live].set(
-                jnp.asarray(tq[n_save:n_save + n_live])))
+        b = video.bufs
+        upd = dict(poses=b.poses.at[:n_live].set(
+            jnp.asarray(tq[n_save:n_save + n_live])))
+        if mapper is not None and intrinsic is not None and \
+                loop_end is not None and loop_end >= n_save:
+            # live rows inside the rectified span get the rewritten depths
+            s, e = n_save, min(loop_end + 1, n_save + n_live)
+            if e > s:
+                upd["disps"] = b.disps.at[:e - s].set(
+                    jnp.asarray(video.disps_save[s:e]))
+                upd["disps_up"] = b.disps_up.at[:e - s].set(
+                    jnp.asarray(video.disps_up_save[s:e]))
+        tracker.video.bufs = b.replace(**upd)

@@ -32,22 +32,27 @@ def weighted_masked_l1(pred, gt, mask, weight):
 
 
 def mapper_loss(pred, gt_rgb, gt_depth, gt_depth_cov, camera: Camera,
-                weights=None, w2c=None, sky_rgb=None):
+                weights=None, w2c=None, sky_rgb=None, pixel_mask=None):
     """pred: render() dict (camera-frame normals); gt_rgb (3,H,W) in [0,1],
     gt_depth/cov (1,H,W). Returns (total, metrics dict).
 
     Matches the reference semantics: sky pixels are where gt_rgb sums to 0
     (middleware zeroes rgb at invalid depth, middleware_utils.py:186);
     valid = not sky and depth > 0; depth is weighted by 1/cov
-    (loss_utils.py:132-133)."""
+    (loss_utils.py:132-133). pixel_mask (H,W) bool excludes dynamic-object
+    pixels from every term (the reference multiplies get_loss's mask by
+    viz_out['pixel_mask'], loss_utils.py:118 + middleware pixel_mask)."""
     weights = {**DEFAULT_WEIGHTS, **(weights or {})}
     sky = jnp.sum(gt_rgb, axis=0) == 0.0          # (H, W)
     valid = (~sky) & (gt_depth[0] > 0.0)
+    if pixel_mask is not None:
+        valid &= pixel_mask
+        sky &= pixel_mask
 
     if sky_rgb is not None:
         # sky mode: full-image photometric loss against the sky-inclusive
         # ground truth (loss_utils.py:122-124)
-        ones = jnp.ones_like(valid)
+        ones = jnp.ones_like(valid) if pixel_mask is None else pixel_mask
         l1 = masked_l1(pred["rgb"], sky_rgb, ones)
         ssim_val = ssim(pred["rgb"], sky_rgb, ones)
     else:

@@ -17,7 +17,8 @@ from ..utils import ply as ply_io
 from .cameras import camera_from_intrinsic
 from .densify import add_frame
 from .state import empty_state, adam_init
-from .train import (KeyframeBatch, bin_stack, train_loop,
+from .train import (KeyframeBatch, bin_stack, bin_rows,
+                    permute_scatter_binned, train_loop,
                     stablemask_control, storage_control, make_camera)
 from ..ops.rasterizer import render
 
@@ -55,13 +56,39 @@ class GaussianMapper:
         self.time_idx = 0
         self.initialized = False
         self.key = jax.random.PRNGKey(cfg.get("seed", 0))
-        self.last_metrics = {}
+        self._metrics_dev = None   # device tree; pulled lazily (d2h syncs
+                                   # cost 5-40 ms each through the tunnel)
         self.H = self.W = None
+        # round-robin binning cache: re-bin only `rebin_rows` cameras per
+        # keyframe (the new one + the stalest); cached rows follow the
+        # sliding window by global_kf_id. 0 = always full re-bin.
+        self.rebin_rows = int(m.get("rebin_rows", 3))
+        self._binned = None
+        self._cached_gids = None
+        self._bin_age = None
 
     # ---- packing -----------------------------------------------------
     def _pack_batch(self, viz_out) -> KeyframeBatch:
+        # host copy of the valid count — int(batch.n_valid) would d2h-sync
+        if "n_valid" in viz_out:
+            self._n_valid_host = int(viz_out["n_valid"])
+        else:
+            self._n_valid_host = min(len(viz_out["viz_out_idx_to_f_idx"]),
+                                     self.kf_capacity)
+        gids = viz_out.get("global_kf_id_host",
+                           viz_out.get("global_kf_id"))
+        gids = np.asarray(jax.device_get(gids), np.int64)
+        kc_ = self.kf_capacity
+        if len(gids) > kc_:
+            gids = gids[-kc_:]
+        elif len(gids) < kc_:
+            gids = np.concatenate(
+                [gids, np.full(kc_ - len(gids), gids[-1], np.int64)])
+        self._gids_host = gids
+        pm = viz_out.get("pixel_mask")
+        pm = None if pm is None else jnp.asarray(pm, bool)
         if "n_valid" in viz_out and \
-                np.asarray(viz_out["images"]).shape[0] == self.kf_capacity:
+                viz_out["images"].shape[0] == self.kf_capacity:
             # middleware already produced a fixed-capacity padded window
             return KeyframeBatch(
                 images=jnp.moveaxis(jnp.asarray(viz_out["images"],
@@ -74,7 +101,8 @@ class GaussianMapper:
                                                 jnp.float32)),
                 global_kf_id=jnp.asarray(viz_out["global_kf_id"],
                                          jnp.int32),
-                n_valid=jnp.asarray(int(viz_out["n_valid"]), jnp.int32))
+                n_valid=jnp.asarray(int(viz_out["n_valid"]), jnp.int32),
+                pixel_mask=pm)
         imgs = jnp.moveaxis(jnp.asarray(viz_out["images"], jnp.float32),
                             -1, 1)                    # (K,3,H,W)
         depths = jnp.moveaxis(jnp.asarray(viz_out["depths"], jnp.float32),
@@ -98,14 +126,59 @@ class GaussianMapper:
             reps = [kc - x.shape[0]] + [1] * (x.ndim - 1)
             return jnp.concatenate([x, jnp.tile(x[-1:], reps)], axis=0)
 
+        if pm is not None:
+            pm = pad(pm[-kc:] if pm.shape[0] > kc else pm)
         return KeyframeBatch(images=pad(imgs), depths=pad(depths),
                              depths_cov=pad(covs), w2cs=pad(w2cs),
                              global_kf_id=pad(gids),
-                             n_valid=jnp.asarray(K, jnp.int32))
+                             n_valid=jnp.asarray(K, jnp.int32),
+                             pixel_mask=pm)
 
     def _next_key(self):
         self.key, k = jax.random.split(self.key)
         return k
+
+    # ---- round-robin binning cache -------------------------------------
+    def _refresh_binned(self, batch, intr4):
+        """Re-bin only the new keyframe + the stalest cached rows; cached
+        rows follow the sliding window by global keyframe id. Stale rows
+        are safe: the exact-ellipse binning carries 2.5 px of margin (pose
+        drift within the window is sub-pixel per keyframe) and pruned
+        Gaussians render at zero opacity (projection gates the packed
+        payload by `alive`). Newly-densified Gaussians reach every row
+        within ceil(K/rebin_rows) keyframes."""
+        kc = self.kf_capacity
+        R = self.rebin_rows
+        gids = self._gids_host
+        full_rebin = (R <= 0 or R >= kc or self._binned is None)
+        if not full_rebin:
+            perm = np.zeros(kc, np.int64)
+            have = np.zeros(kc, bool)
+            for pos, g in enumerate(gids):
+                w = np.where(self._cached_gids == g)[0]
+                if len(w):
+                    perm[pos] = w[0]
+                    have[pos] = True
+            if int((~have).sum()) > R:
+                full_rebin = True
+        if full_rebin:
+            self._binned = bin_stack(self.state, batch, intr4, self.H,
+                                     self.W, **self.bin_kwargs)
+            self._cached_gids = gids.copy()
+            self._bin_age = np.zeros(kc, np.int64)
+            return self._binned
+        age = np.where(have, self._bin_age[perm] + 1, 1 << 30)
+        rows = np.argsort(-age)[:R]                # stalest first
+        part = bin_rows(self.state, batch.w2cs[jnp.asarray(rows,
+                                                           jnp.int32)],
+                        intr4, self.H, self.W, **self.bin_kwargs)
+        self._binned = permute_scatter_binned(
+            self._binned, jnp.asarray(perm, jnp.int32), part,
+            jnp.asarray(rows, jnp.int32))
+        age[rows] = 0
+        self._bin_age = age
+        self._cached_gids = gids.copy()
+        return self._binned
 
     # ---- new-keyframe detection (judge_new_frame, host logic) ---------
     def _judge_new_frame(self, viz_out):
@@ -130,7 +203,7 @@ class GaussianMapper:
         if not self.initialized:
             ts = np.asarray(viz_out["viz_out_idx_to_f_idx"]).tolist()
             self.history = list(ts)
-            K = int(batch.n_valid)
+            K = self._n_valid_host
             for i in range(K):
                 self.state, self.opt, n_new, _ = add_frame(
                     self.state, self.opt, batch.w2cs[i], intr4,
@@ -148,7 +221,7 @@ class GaussianMapper:
             if new_id is None:
                 return
             # if window was cropped to kf_capacity, re-locate index
-            new_id = min(new_id, int(batch.n_valid) - 1)
+            new_id = min(new_id, self._n_valid_host - 1)
             self.state, self.opt, n_new, n_kill = add_frame(
                 self.state, self.opt, batch.w2cs[new_id], intr4,
                 batch.images[new_id], batch.depths[new_id],
@@ -162,10 +235,7 @@ class GaussianMapper:
                                    batch.images[new_id], self._next_key(),
                                    self.H, self.W)
 
-        # binning is per-round: densification just inserted new Gaussians
-        # that every keyframe's pair list must include
-        binned = bin_stack(self.state, batch, intr4, self.H, self.W,
-                           **self.bin_kwargs)
+        binned = self._refresh_binned(batch, intr4)
 
         self.refined_poses = None
         if self.cfg.get("use_refine") and self.initialized:
@@ -195,7 +265,7 @@ class GaussianMapper:
             render_kwargs=self.render_kwargs, **sky_kwargs)
         if self.use_sky:
             self.sky.state, self.sky.opt = sky_state, sky_opt
-        self.last_metrics = {k: float(v) for k, v in metrics.items()}
+        self._metrics_dev = metrics
 
         self.time_idx += 1
         if self.time_idx % int(ta["num_keyframe"]) == 0:
@@ -213,11 +283,29 @@ class GaussianMapper:
                 "logit_opacity": lr["_opacity_lr"]}
 
     # ---- rendering for vis / eval --------------------------------------
-    def render_at(self, w2c, intr: dict):
+    def render_at(self, w2c, intr: dict, max_dist=None):
+        """Render the map at w2c. max_dist (meters) culls Gaussians farther
+        than that from the camera center — the reference's
+        `render_indistance` 60 m loop-verification render
+        (gaussian_base.py:238-332): at km scale the whole-map render is
+        slow and far geometry pollutes the photometric check."""
         cam = camera_from_intrinsic(jnp.asarray(w2c, jnp.float32), intr)
         s = self.state
+        alive = s.alive
+        if max_dist is not None:
+            c2w = jnp.linalg.inv(jnp.asarray(w2c, jnp.float32))
+            d2 = jnp.sum((s.xyz - c2w[:3, 3]) ** 2, axis=-1)
+            alive = alive & (d2 < float(max_dist) ** 2)
         return render(s.xyz, s.log_scale, s.quat, s.logit_opacity, s.rgb,
-                      cam, alive=s.alive, **dict(self.render_kwargs))
+                      cam, alive=alive, **dict(self.render_kwargs))
+
+    @property
+    def last_metrics(self):
+        """Latest train-loop metrics — ONE device_get, on demand only."""
+        if self._metrics_dev is None:
+            return {}
+        return {k: float(v) for k, v in
+                jax.device_get(self._metrics_dev).items()}
 
     @property
     def n_alive(self):

@@ -36,6 +36,7 @@ class KeyframeBatch(NamedTuple):
     w2cs: jnp.ndarray        # (K, 4, 4)
     global_kf_id: jnp.ndarray  # (K,) int32
     n_valid: jnp.ndarray     # () int32 — real keyframes in the stack
+    pixel_mask: jnp.ndarray = None  # (K, H, W) bool — False at dynamic px
 
 
 from .cameras import make_camera
@@ -58,6 +59,30 @@ def bin_stack(state: GaussianState, batch: KeyframeBatch, intr4, height,
                               alive=state.alive, p_cap=p_cap, chunk=chunk,
                               side=side, v_cap=v_cap)
     return jax.lax.map(one, batch.w2cs)
+
+
+@functools.partial(jax.jit, static_argnames=("height", "width", "p_cap",
+                                             "chunk", "side", "v_cap"))
+def bin_rows(state: GaussianState, w2cs_rows, intr4, height, width,
+             p_cap=1 << 21, chunk=128, side=5, v_cap=0):
+    """Bin a (small, static) subset of window cameras — the incremental
+    half of the round-robin binning cache (full re-bin of all K cameras
+    every keyframe was the single largest mapper cost on-chip)."""
+    def one(w2c):
+        cam = make_camera(w2c, intr4, height, width)
+        return bin_for_camera(state.xyz, state.log_scale, state.quat,
+                              state.logit_opacity, state.rgb, cam,
+                              alive=state.alive, p_cap=p_cap, chunk=chunk,
+                              side=side, v_cap=v_cap)
+    return jax.lax.map(one, w2cs_rows)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def permute_scatter_binned(full, perm, part, rows):
+    """Shift cached binning rows to their new window positions (window
+    slides), then scatter freshly-binned rows in."""
+    moved = jax.tree.map(lambda x: x[perm], full)
+    return jax.tree.map(lambda f, p: f.at[rows].set(p), moved, part)
 
 
 @functools.partial(jax.jit, static_argnames=("iters", "height", "width",
@@ -93,9 +118,11 @@ def train_loop(state: GaussianState, opt: SparseAdamState,
             rets["rgb"] = rets["rgb"] + (1.0 - rets["accum"]) * srets["rgb"]
             sky_rgb_gt = sky_images[kf]
             sky_visible = srets["visible"]
+        pm = None if batch.pixel_mask is None else batch.pixel_mask[kf]
         total, metrics = mapper_loss(rets, batch.images[kf],
                                      batch.depths[kf], batch.depths_cov[kf],
-                                     camera, weights, sky_rgb=sky_rgb_gt)
+                                     camera, weights, sky_rgb=sky_rgb_gt,
+                                     pixel_mask=pm)
         metrics["psnr"] = psnr(rets["rgb"], batch.images[kf],
                                batch.depths[kf][0] > 0)
         return total, (metrics, rets["visible"], sky_visible)

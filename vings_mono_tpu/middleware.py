@@ -24,8 +24,9 @@ import jax.numpy as jnp
 from .ops import lie
 
 
-@functools.partial(jax.jit, static_argnames=("k_cap",))
-def _package_kernel(bufs, sel, n_valid, max_depth, cov_times, *, k_cap):
+@functools.partial(jax.jit, static_argnames=("k_cap", "max_depth",
+                                             "cov_times"))
+def _package_kernel(bufs, sel, *, k_cap, max_depth, cov_times):
     rgbs = bufs.images[sel]                              # (K, H, W, 3)
     depths = (1.0 / (bufs.disps_up[sel] + 1e-6))[..., None]
     covs = bufs.depths_cov_up[sel][..., None]
@@ -40,8 +41,73 @@ def _package_kernel(bufs, sel, n_valid, max_depth, cov_times, *, k_cap):
     return rgbs, depths, covs, c2ws
 
 
+def judge_and_package_v0_kitti360(tracker, cfg=None):
+    """KITTI-360 packaging variant (middleware_utils.py:51-92,
+    judge_and_package_v0_kitti360unsync): the mapper trains on the last 8
+    *marginalized* keyframes from the host save buffers — their depths are
+    final (no longer being optimized) — and the sky band is cropped off:
+    only the bottom `new_H` rows are packaged, with cu re-centered.
+    new_H = image_size[0] * (intrinsic.new_H / intrinsic.H), rounded to /8.
+    """
+    cfg = cfg if cfg is not None else tracker.cfg
+    video = tracker.video
+    if not tracker.frontend.new_frame_added:
+        return None
+    ns = video.count_save
+    k_cap = int(cfg["mapper"]["kf_capacity"])
+    lo = max(ns - 8, 0)
+    sel = np.arange(lo, ns)
+    if len(sel) == 0:
+        return None
+    K = min(len(sel), k_cap)
+    sel = sel[-K:]
+
+    H, W = video.ht, video.wd
+    ic = cfg["intrinsic"]
+    u_scale = float(ic.get("new_H", ic["H"])) / float(ic["H"])
+    new_H = int(u_scale * H) // 8 * 8
+    new_cu = new_H / 2.0
+
+    depths = (1.0 / (video.disps_up_save[sel] + 1e-6))[..., None]
+    covs = video.depths_cov_up_save[sel][..., None]
+    cov_med = np.median(covs.reshape(K, -1), axis=1)[:, None, None, None]
+    mw = cfg["middleware"]
+    zero = (depths > float(mw["max_depth"])) | \
+        (covs > float(mw["cov_times"]) * cov_med)
+    depths = np.where(zero, 0.0, depths)
+    rgbs = np.where(depths == 0, 0.0, video.images_save[sel])
+    c2ws = np.asarray(lie.se3_matrix(lie.se3_inv(
+        jnp.asarray(video.poses_save[sel]))))
+
+    intr = np.asarray(jax.device_get(video.bufs.intrinsics[0])) * 8.0
+    intrinsic = {"fu": float(intr[1]), "fv": float(intr[0]),
+                 "cu": float(new_cu), "cv": float(intr[2]),
+                 "H": int(new_H), "W": int(W)}
+
+    def pad(x):
+        if x.shape[0] == k_cap:
+            return x
+        reps = [k_cap - x.shape[0]] + [1] * (x.ndim - 1)
+        return np.concatenate([x, np.tile(x[-1:], reps)], axis=0)
+
+    return {
+        "images": pad(rgbs[:, -new_H:]),
+        "depths": pad(depths[:, -new_H:]),
+        "depths_cov": pad(covs[:, -new_H:]),
+        "poses": pad(c2ws),
+        "viz_out_idx_to_f_idx": video.tstamp_save[sel],
+        "intrinsic": intrinsic,
+        "pixel_mask": np.ones((k_cap, new_H, W), bool),
+        "global_kf_id": pad(np.asarray(sel, np.int64)),
+        "valid_localkf_id": sel,
+        "n_valid": K,
+    }
+
+
 def judge_and_package(tracker, cfg=None):
     cfg = cfg if cfg is not None else tracker.cfg
+    if cfg.get("middleware", {}).get("variant") == "v0_kitti360":
+        return judge_and_package_v0_kitti360(tracker, cfg)
     fe = tracker.frontend
     graph = tracker.graph
     video = tracker.video
@@ -78,19 +144,26 @@ def judge_and_package(tracker, cfg=None):
 
     mw = cfg["middleware"]
     rgbs, depths, covs, c2ws = _package_kernel(
-        video.bufs, jnp.asarray(sel, jnp.int32),
-        jnp.asarray(K, jnp.int32), jnp.float32(mw["max_depth"]),
-        jnp.float32(mw["cov_times"]), k_cap=k_cap)
+        video.bufs, jnp.asarray(sel, jnp.int32), k_cap=k_cap,
+        max_depth=float(mw["max_depth"]), cov_times=float(mw["cov_times"]))
 
     H, W = video.ht, video.wd
-    intr = np.asarray(jax.device_get(video.bufs.intrinsics[0])) * 8.0
-    # buffer intrinsics are [fx fy cx cy]; the viz_out dict uses the
-    # reference's row-major fu/cu naming (fu = fy)
-    intrinsic = {"fu": float(intr[1]), "fv": float(intr[0]),
-                 "cu": float(intr[3]), "cv": float(intr[2]),
-                 "H": int(H), "W": int(W)}
+    # intrinsics are constant per run — cache the d2h pull (5-40 ms each)
+    intrinsic = getattr(tracker, "_intr_cache", None)
+    if intrinsic is None:
+        intr = np.asarray(jax.device_get(video.bufs.intrinsics[0])) * 8.0
+        # buffer intrinsics are [fx fy cx cy]; the viz_out dict uses the
+        # reference's row-major fu/cu naming (fu = fy)
+        intrinsic = {"fu": float(intr[1]), "fv": float(intr[0]),
+                     "cu": float(intr[3]), "cv": float(intr[2]),
+                     "H": int(H), "W": int(W)}
+        tracker._intr_cache = intrinsic
     tstamps = np.asarray([video.tstamps_host[i] for i in sel])
 
+    mask = getattr(tracker, "_pixel_mask_cache", None)
+    if mask is None or mask.shape != (k_cap, H, W):
+        mask = jnp.ones((k_cap, H, W), bool)
+        tracker._pixel_mask_cache = mask
     return {
         "images": rgbs,
         "depths": depths,
@@ -98,7 +171,7 @@ def judge_and_package(tracker, cfg=None):
         "poses": c2ws,
         "viz_out_idx_to_f_idx": tstamps[:K],
         "intrinsic": intrinsic,
-        "pixel_mask": jnp.ones((k_cap, H, W), bool),
+        "pixel_mask": mask,
         "global_kf_id": jnp.asarray(global_kf_id, jnp.int32),
         "valid_localkf_id": valid_localkf,
         "n_valid": K,

@@ -230,6 +230,115 @@ def ba_window(target, weight, eta, poses, disps, intrinsics, ii, jj,
     return jax.lax.fori_loop(0, iters, step, (poses, disps))
 
 
+@functools.partial(jax.jit, static_argnames=("iters",))
+def ba_global(target, weight, eta, poses, disps, intrinsics, ii, jj,
+              edge_valid, group_idx, group_valid, free_mask, iters=2,
+              ep=0.1, lm=1e-4):
+    """Full-trajectory dense-depth BA with an *edge-sparse* Schur
+    complement — the terminate/global-BA pass (reference:
+    frontend_vo/.../visual_frontend.py:1460-1542 `backend`/`update_lowmem`).
+
+    The window BA above materializes the pose-depth coupling E as a dense
+    (P, M, 6, HW) tensor — fine for a 16-frame window, impossible for a
+    2500-frame trajectory. Here the Schur term S -= E Q E^T is accumulated
+    per *depth frame* over a capped adjacency list instead:
+
+      group_idx (T, d) int32 — ids of edges whose source frame ii == m
+      group_valid (T, d) bool — padding mask
+
+    For depth frame m the only poses coupled through its depth block are m
+    itself (via every edge's Ei) and the d destination frames jj[e] (via
+    Ej). Stacking those d+1 rows gives R_m (d+1, 6, HW); the Schur
+    contribution is the (d+1)x(d+1) block outer product R_m Q_m R_m^T,
+    scattered into the dense pose Hessian by (pose_a, pose_b). Memory is
+    O(T*(d+1)*6*HW) instead of O(T^2*6*HW).
+
+    free_mask (T,) bool — poses to optimize (False = pinned, e.g. frame 0).
+    Returns (poses, disps) updated in `iters` Gauss-Newton steps.
+    """
+    T, ht, wd = disps.shape
+    HW = ht * wd
+    d = group_idx.shape[1]
+
+    tgt = jnp.moveaxis(target, 1, -1)                   # (E, H, W, 2)
+
+    def step(_, carry):
+        poses_c, disps_c = carry
+        coords, valid, (Ji, Jj, Jz) = pops.projective_transform(
+            poses_c, disps_c, intrinsics, ii, jj, jacobian=True)
+        N = ii.shape[0]
+        r = (tgt - coords) * valid
+        wgt = 0.001 * jnp.moveaxis(weight, 1, -1) * valid
+        wgt = wgt * edge_valid[:, None, None, None].astype(wgt.dtype)
+
+        Jif = Ji.reshape(N, HW, 2, 6)
+        Jjf = Jj.reshape(N, HW, 2, 6)
+        Jzf = Jz.reshape(N, HW, 2, 1)
+        rf = r.reshape(N, HW, 2, 1)
+        wf = wgt.reshape(N, HW, 2, 1)
+        wJi = wf * Jif
+        wJj = wf * Jjf
+
+        def blk(A, B):
+            return jnp.einsum("npcd,npce->nde", A, B)
+
+        # dense pose-pose part (T*6 x T*6 is small even at T=2500)
+        def mat(vals, a, b):
+            idx = a * T + b
+            return jax.ops.segment_sum(
+                vals, idx, num_segments=T * T).reshape(T, T, 6, 6)
+
+        def vec(vals, a):
+            return jax.ops.segment_sum(vals, a, num_segments=T)
+
+        H = (mat(blk(wJi, Jif), ii, ii) + mat(blk(wJi, Jjf), ii, jj)
+             + mat(blk(wJj, Jif), jj, ii) + mat(blk(wJj, Jjf), jj, jj))
+        v = vec(jnp.einsum("npcd,npcz->nd", wJi, rf), ii) + \
+            vec(jnp.einsum("npcd,npcz->nd", wJj, rf), jj)
+
+        # per-edge depth couplings (E-sparse)
+        Ei = jnp.einsum("npcd,npcz->ndp", wJi, Jzf)     # (N, 6, HW)
+        Ej = jnp.einsum("npcd,npcz->ndp", wJj, Jzf)
+        Ck = jnp.einsum("npcz,npcz->np", wf * Jzf, Jzf)
+        wk = jnp.einsum("npcz,npcz->np", wf * Jzf, rf)
+
+        C = vec(Ck, ii) + eta.reshape(T, HW) + 1e-7     # (T, HW)
+        wrhs = vec(wk, ii)
+        Q = 1.0 / C
+
+        # adjacency rows: R[m, 0] = sum_e(ii=m) Ei_e ; R[m, 1+k] = Ej_gk
+        R0 = jax.ops.segment_sum(Ei, ii, num_segments=T)  # (T, 6, HW)
+        gmask = group_valid[..., None, None].astype(Ej.dtype)
+        Rk = Ej[group_idx] * gmask                       # (T, d, 6, HW)
+        R = jnp.concatenate([R0[:, None], Rk], axis=1)   # (T, d+1, 6, HW)
+        pid = jnp.concatenate(
+            [jnp.arange(T, dtype=jnp.int32)[:, None],
+             jnp.where(group_valid, jj[group_idx], 0)], axis=1)  # (T, d+1)
+
+        QR = R * Q[:, None, None, :]
+        Sblk = jnp.einsum("madh,mbeh->mabde", QR, R)     # (T,d+1,d+1,6,6)
+        sidx = (pid[:, :, None] * T + pid[:, None, :]).reshape(-1)
+        Ssub = jax.ops.segment_sum(
+            Sblk.reshape(-1, 6, 6), sidx,
+            num_segments=T * T).reshape(T, T, 6, 6)
+        vblk = jnp.einsum("madh,mh->mad", QR, wrhs)      # (T, d+1, 6)
+        vsub = jax.ops.segment_sum(vblk.reshape(-1, 6), pid.reshape(-1),
+                                   num_segments=T)
+
+        S = H - Ssub
+        v2 = v - vsub
+        S, v2 = _mask_fixed(S, v2, free_mask)
+        dx = damped_solve(S, v2, ep, lm)
+        dx = dx * free_mask[:, None].astype(dx.dtype)
+
+        # depth back-substitution over the same adjacency rows
+        Rt_dx = jnp.einsum("madh,mad->mh", R, dx[pid])   # (T, HW)
+        dz = Q * (wrhs - Rt_dx)
+        return retract(poses_c, disps_c, dx, dz, fixedp=0)
+
+    return jax.lax.fori_loop(0, iters, step, (poses, disps))
+
+
 @functools.partial(jax.jit, static_argnames=("fixedp",))
 def ba_hessian(target, weight, eta, poses, disps, intrinsics, ii, jj,
                edge_valid, fixedp=0):

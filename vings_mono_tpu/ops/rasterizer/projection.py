@@ -145,6 +145,11 @@ def project_surfels(xyz, log_scale, quat, logit_opacity, rgb, camera: Camera,
     cov2d = jnp.stack([s00, s01, s11], axis=-1)
 
     opacity = jax.nn.sigmoid(logit_opacity[:, 0])
+    if alive is not None:
+        # gate the payload too (not just `visible`): pair lists may be
+        # CACHED across prune events, and the tile kernel renders whatever
+        # packed rows the cached pair_idx references
+        opacity = opacity * alive.astype(opacity.dtype)
 
     # unit normal for the normal render channel; flip toward the camera the
     # way 2DGS does (normal faces the ray origin)

@@ -39,7 +39,11 @@ def build(cfg):
     if cfg.get("use_metric"):
         from ..models.metric_depth import MetricDepth
         metric = MetricDepth(cfg)
-    return dataset, tracker, mapper, looper, storage, metric
+    dynamic = None
+    if cfg.get("use_dynamic"):
+        from ..dynamic.dynamic_model import DynamicModel
+        dynamic = DynamicModel(cfg)
+    return dataset, tracker, mapper, looper, storage, metric, dynamic
 
 
 def run(cfg, save_dir, max_frames=None, on_frame=None, resume=None,
@@ -48,7 +52,7 @@ def run(cfg, save_dir, max_frames=None, on_frame=None, resume=None,
     from ..utils.trajectory import save_trajectory
     from ..utils.profiling import StageTimer
 
-    dataset, tracker, mapper, looper, storage, metric = build(cfg)
+    dataset, tracker, mapper, looper, storage, metric, dynamic = build(cfg)
     if cfg.get("mode") == "vio":
         from ..tracker.vio import InertialFusion
         imu = dataset.preload_imu()
@@ -86,6 +90,9 @@ def run(cfg, save_dir, max_frames=None, on_frame=None, resume=None,
         with timer("package"):
             viz_out = judge_and_package(tracker, cfg)
         if viz_out is not None:
+            if dynamic is not None:
+                with timer("dynamic"):
+                    viz_out = dynamic.apply_to_viz_out(viz_out, mapper)
             with timer("map"):
                 mapper.run(viz_out)
             if cfg.get("use_refine") and \
@@ -109,6 +116,13 @@ def run(cfg, save_dir, max_frames=None, on_frame=None, resume=None,
         if on_frame is not None:
             on_frame(idx, tracker, mapper, viz_out)
 
+    if cfg.get("use_global_ba"):
+        # terminate pass: full-trajectory BA removes the online drift the
+        # sliding window could not (ref visual_frontend.py:1460-1542)
+        from ..tracker.backend import GlobalBA
+        with timer("global_ba"):
+            stats = GlobalBA(tracker, cfg).run()
+        print(f"global BA: {stats}")
     save_trajectory(tracker, save_dir)
     mapper.save_ply(os.path.join(save_dir, "ply", "final_2dgs.ply"))
     return tracker, mapper, timer

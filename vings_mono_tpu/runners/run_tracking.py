@@ -43,6 +43,10 @@ def run(cfg, save_dir, max_frames=None):
             save_viz_out(os.path.join(dump_dir, f"vizout_{kf:06d}.npz"),
                          viz_out)
             kf += 1
+    if cfg.get("use_global_ba"):
+        from ..tracker.backend import GlobalBA
+        stats = GlobalBA(tracker, cfg).run()
+        print(f"global BA: {stats}")
     n_kf = save_trajectory(tracker, save_dir)
     print(f"saved {n_kf} keyframe poses -> {save_dir}/droid_c2w")
     return tracker

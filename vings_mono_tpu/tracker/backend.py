@@ -1,0 +1,327 @@
+"""Global bundle adjustment — the terminate/backend pass.
+
+Rebuild of the reference's offline full-trajectory BA
+(/root/reference/scripts/frontend_vo/slam/visual_frontends/
+visual_frontend.py:1460-1542: `update_lowmem` + `backend` + `terminate`):
+after the online run, rebuild a covisibility graph over EVERY keyframe
+(host save buffers + live window), re-run the GRU flow/weight updates with
+correlation volumes computed on the fly in chunks (the "lowmem" trick: the
+all-pairs volumes for thousands of edges never coexist in memory), and
+solve one global dense-depth BA so the final trajectory loses the online
+drift the sliding window could not remove.
+
+TPU design notes:
+  * features for spilled keyframes are re-encoded from the saved images in
+    fixed-size batches (one compiled program, `lax.map`-free host loop);
+  * per-round GRU updates run over fixed-size edge chunks; each chunk
+    builds its own bf16 correlation pyramid (MXU matmul) and throws it
+    away — peak memory is O(chunk * hw^2) regardless of trajectory length;
+  * the solve is `ops.ba.ba_global`: dense (T*6)^2 pose system, depth
+    blocks Schur-eliminated per source frame over a capped adjacency list
+    (edge-sparse; no O(T^2 * HW) coupling tensor);
+  * edge selection mirrors the reference backend: all-pairs frame_distance
+    (chunked), threshold + greedy NMS, consecutive-frame edges always in,
+    per-frame out-degree capped so the adjacency list stays rectangular.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.droid_net import normalize_image
+from ..ops import ba as ba_ops
+from ..ops import corr as corr_ops
+from ..ops import lie, projective as pops
+from ..ops.upsample import upsample_disp
+
+
+@functools.partial(jax.jit, static_argnames=("fnet_apply", "cnet_apply"))
+def _encode_batch(params, fnet_apply, cnet_apply, images):
+    """images (B, H, W, 3) -> fmaps, nets, inps at 1/8 res."""
+    x = normalize_image(images)
+    fmaps = fnet_apply(params, x)
+    nets, inps = cnet_apply(params, x)
+    return fmaps, nets, inps
+
+
+@functools.partial(jax.jit, static_argnames=("pair_cap",))
+def _distance_chunk(poses, disps, intrinsics, ii, jj, *, pair_cap):
+    del pair_cap  # shape carried by ii/jj
+    return pops.frame_distance(poses, disps, intrinsics, ii, jj,
+                               beta=jnp.float32(0.3))
+
+
+@functools.partial(jax.jit, static_argnames=("update_apply", "t_cap"),
+                   donate_argnums=(8, 9, 10))
+def _gru_chunk(params, update_apply, fmaps, inps, poses, disps, intrinsics,
+               chunk_meta, nets_e, target_full, weight_full, eta_full,
+               upmask_full, *, t_cap):
+    """One GRU round over one edge chunk.
+
+    chunk_meta: (4, ce) int32 rows [ii, jj, valid, offset@[3,0]] for this
+    chunk. nets_e: (ce, h, w, 128) per-edge GRU hidden states (persist
+    across rounds). target/weight_full (E_cap, ...) are scatter-updated at
+    the chunk's slice; eta/upmask_full (t_cap, ...) rows of frames with
+    edges in this chunk are overwritten (GraphAgg per-source-frame
+    outputs)."""
+    ii = chunk_meta[0]
+    jj = chunk_meta[1]
+    valid = chunk_meta[2] != 0
+    offset = chunk_meta[3, 0]           # chunk start in the edge arrays
+    h, w = disps.shape[1:3]
+    coords0 = pops.coords_grid(h, w)
+
+    pyr = corr_ops.build_pyramid(fmaps[ii], fmaps[jj], dtype=jnp.bfloat16)
+    coords1, _ = pops.projective_transform(poses, disps, intrinsics, ii, jj)
+    corr = corr_ops.lookup(pyr, coords1)
+
+    ce = ii.shape[0]
+    tgt_old = jax.lax.dynamic_slice_in_dim(target_full, offset, ce)
+    tgt_old = jnp.moveaxis(tgt_old, 1, -1)
+    motn = jnp.concatenate([coords1 - coords0, tgt_old - coords1], axis=-1)
+    motn = jnp.clip(motn, -64.0, 64.0)
+
+    net_new, delta, weight, eta, upmask = update_apply(
+        params, nets_e, inps[ii], corr, motn,
+        jnp.where(valid, ii, t_cap), t_cap + 1, True)
+
+    target = coords1 + delta
+    vmask = valid[:, None, None, None].astype(weight.dtype)
+    weight = weight * vmask
+
+    target_full = jax.lax.dynamic_update_slice_in_dim(
+        target_full, jnp.moveaxis(target, -1, 1), offset, axis=0)
+    weight_full = jax.lax.dynamic_update_slice_in_dim(
+        weight_full, jnp.moveaxis(weight, -1, 1), offset, axis=0)
+
+    has_edge = jax.ops.segment_sum(
+        valid.astype(jnp.float32), jnp.where(valid, ii, t_cap),
+        num_segments=t_cap + 1)[:t_cap] > 0
+    eta_full = jnp.where(has_edge[:, None, None], eta[:t_cap], eta_full)
+    upmask_full = jnp.where(has_edge[:, None, None, None],
+                            upmask[:t_cap], upmask_full)
+    return net_new, target_full, weight_full, eta_full, upmask_full
+
+
+class GlobalBA:
+    """End-of-run global BA over save + live keyframe buffers."""
+
+    def __init__(self, tracker, cfg=None):
+        self.tracker = tracker
+        be = ((cfg or tracker.cfg).get("backend") or {})
+        self.steps = int(be.get("steps", 6))
+        self.gn_iters = int(be.get("iters", 2))
+        self.thresh = float(be.get("thresh", 25.0))
+        self.nms = int(be.get("nms", 2))
+        self.radius = int(be.get("radius", 2))
+        self.d_cap = int(be.get("degree_cap", 8))
+        self.chunk = int(be.get("chunk", 32))
+        self.enc_batch = int(be.get("encode_batch", 8))
+        # test seam: callable (ii, jj) -> (E, 2, h, w) seed targets; the
+        # default seeds with the current reprojection (zero initial motion)
+        self.target_fn = None
+
+    # ------------------------------------------------------------------
+    def _gather(self):
+        """Stack save + live buffers into host arrays (T real frames)."""
+        v = self.tracker.video
+        ns, nl = v.count_save, v.counter
+        T = ns + nl
+        live = jax.device_get((v.bufs.poses[:nl], v.bufs.disps[:nl],
+                               v.bufs.images[:nl]))
+        poses = np.concatenate([v.poses_save[:ns], live[0]], axis=0)
+        disps = np.concatenate([v.disps_save[:ns], live[1]], axis=0)
+        images = np.concatenate([v.images_save[:ns], live[2]], axis=0)
+        intr8 = np.asarray(
+            jax.device_get(v.bufs.intrinsics[0]), np.float32)
+        return T, poses, disps, images, intr8
+
+    def _build_edges(self, T, poses, disps, intr8, t_cap):
+        """Reference-backend edge proposal: distance threshold + greedy NMS
+        + consecutive edges, both directions, capped out-degree."""
+        dev_poses = jnp.asarray(poses, jnp.float32)
+        dev_disps = jnp.asarray(disps, jnp.float32)
+        dev_intr = jnp.tile(jnp.asarray(intr8)[None], (T, 1))
+
+        pairs = [(i, j) for i in range(T) for j in range(T)
+                 if i != j and abs(i - j) <= 64]
+        pair_cap = 1 << max(6, (len(pairs) - 1).bit_length()) \
+            if pairs else 64
+        pi = np.zeros(pair_cap, np.int32)
+        pj = np.zeros(pair_cap, np.int32)
+        if pairs:
+            pi[:len(pairs)] = [p[0] for p in pairs]
+            pj[:len(pairs)] = [p[1] for p in pairs]
+        d = np.asarray(jax.device_get(_distance_chunk(
+            dev_poses, dev_disps, dev_intr,
+            jnp.asarray(pi), jnp.asarray(pj), pair_cap=pair_cap)))
+        dmat = np.full((T, T), np.inf, np.float32)
+        for k, (i, j) in enumerate(pairs):
+            dmat[i, j] = d[k]
+
+        deg = np.zeros(T, np.int64)
+        sel = set()
+
+        def try_add(i, j):
+            if (i, j) in sel or deg[i] >= self.d_cap or deg[j] >= self.d_cap:
+                return
+            sel.add((i, j))
+            sel.add((j, i))
+            deg[i] += 1
+            deg[j] += 1
+
+        for i in range(T - 1):            # consecutive edges always in
+            try_add(i, i + 1)
+        # symmetric mean distance, upper triangle, sorted
+        cand = []
+        for i in range(T):
+            for j in range(i + self.radius, T):
+                dd = 0.5 * (dmat[i, j] + dmat[j, i])
+                if np.isfinite(dd) and dd < self.thresh:
+                    cand.append((dd, i, j))
+        cand.sort()
+        suppressed = np.zeros((T, T), bool)
+        for dd, i, j in cand:
+            if suppressed[i, j]:
+                continue
+            before = len(sel)
+            try_add(i, j)
+            if len(sel) > before:
+                i0, i1 = max(0, i - self.nms), min(T, i + self.nms + 1)
+                j0, j1 = max(0, j - self.nms), min(T, j + self.nms + 1)
+                suppressed[i0:i1, j0:j1] = True
+
+        ii = np.asarray([e[0] for e in sorted(sel)], np.int32)
+        jj = np.asarray([e[1] for e in sorted(sel)], np.int32)
+        return ii, jj
+
+    # ------------------------------------------------------------------
+    def run(self):
+        """Run the global BA; writes rectified poses/disps back into the
+        save buffers and the live window. Returns a stats dict."""
+        v = self.tracker.video
+        T, poses_np, disps_np, images, intr8 = self._gather()
+        if T < 3:
+            return {"frames": T, "edges": 0, "skipped": True}
+        h, w = disps_np.shape[1:3]
+        t_cap = 1 << (T - 1).bit_length()
+
+        # ---- re-encode features for every frame --------------------------
+        fmaps = np.zeros((t_cap, h, w, 128), np.float32)
+        nets0 = np.zeros((t_cap, h, w, 128), np.float32)
+        inps0 = np.zeros((t_cap, h, w, 128), np.float32)
+        B = self.enc_batch
+        for s in range(0, T, B):
+            imgs = np.zeros((B,) + images.shape[1:], np.float32)
+            e = min(T, s + B)
+            imgs[:e - s] = images[s:e]
+            fm, nt, ip = _encode_batch(self.tracker.params,
+                                       self.tracker.fnet_apply,
+                                       self.tracker.cnet_apply,
+                                       jnp.asarray(imgs))
+            fm, nt, ip = jax.device_get((fm, nt, ip))
+            fmaps[s:e] = fm[:e - s]
+            nets0[s:e] = nt[:e - s]
+            inps0[s:e] = ip[:e - s]
+
+        # ---- edges -------------------------------------------------------
+        ii, jj = self._build_edges(T, poses_np, disps_np, intr8, t_cap)
+        E = len(ii)
+        if E == 0:
+            return {"frames": T, "edges": 0, "skipped": True}
+        ce = self.chunk
+        e_cap = ((E + ce - 1) // ce) * ce
+        ii_p = np.zeros(e_cap, np.int32)
+        jj_p = np.zeros(e_cap, np.int32)
+        val_p = np.zeros(e_cap, np.int32)
+        ii_p[:E], jj_p[:E], val_p[:E] = ii, jj, 1
+
+        # capped adjacency (group by source frame)
+        gi = np.zeros((t_cap, self.d_cap), np.int32)
+        gv = np.zeros((t_cap, self.d_cap), bool)
+        fill = np.zeros(t_cap, np.int64)
+        for e in range(E):
+            m = ii[e]
+            k = fill[m]
+            assert k < self.d_cap, "edge selection must respect degree cap"
+            gi[m, k] = e
+            gv[m, k] = True
+            fill[m] += 1
+
+        # ---- device state ------------------------------------------------
+        pad_pose = np.tile(np.asarray([0, 0, 0, 0, 0, 0, 1.0], np.float32),
+                           (t_cap, 1))
+        pad_pose[:T] = poses_np
+        dev = {
+            "poses": jnp.asarray(pad_pose),
+            "disps": jnp.asarray(np.concatenate(
+                [disps_np, np.ones((t_cap - T, h, w), np.float32)])),
+            "intr": jnp.tile(jnp.asarray(intr8)[None], (t_cap, 1)),
+            "fmaps": jnp.asarray(fmaps),
+            "inps": jnp.asarray(inps0),
+            "target": jnp.zeros((e_cap, 2, h, w), jnp.float32),
+            "weight": jnp.zeros((e_cap, 2, h, w), jnp.float32),
+            "eta": jnp.full((t_cap, h, w), 1e-4, jnp.float32),
+            "upmask": jnp.zeros((t_cap, h, w, 576), jnp.float32),
+        }
+        nets_e = jnp.asarray(nets0)[jnp.asarray(ii_p)]  # (e_cap, h, w, 128)
+        free = jnp.arange(t_cap) < T
+        free = free & (jnp.arange(t_cap) >= 1)          # pin frame 0 + pads
+        valid_dev = jnp.asarray(val_p) != 0
+
+        # seed targets with current reprojection so motion features start 0
+        if self.target_fn is not None:
+            dev["target"] = jnp.asarray(self.target_fn(ii_p, jj_p),
+                                        jnp.float32)
+        else:
+            coords1, _ = pops.projective_transform(
+                dev["poses"], dev["disps"], dev["intr"],
+                jnp.asarray(ii_p), jnp.asarray(jj_p))
+            dev["target"] = jnp.moveaxis(coords1, -1, 1)
+
+        chunk_metas = []
+        for s in range(0, e_cap, ce):
+            meta = np.zeros((4, ce), np.int32)
+            meta[0] = ii_p[s:s + ce]
+            meta[1] = jj_p[s:s + ce]
+            meta[2] = val_p[s:s + ce]
+            meta[3, 0] = s
+            chunk_metas.append(jnp.asarray(meta))
+
+        for step in range(self.steps):
+            for c, meta in enumerate(chunk_metas):
+                sl = slice(c * ce, (c + 1) * ce)
+                net_new, dev["target"], dev["weight"], dev["eta"], \
+                    dev["upmask"] = _gru_chunk(
+                        self.tracker.params, self.tracker.update_apply,
+                        dev["fmaps"], dev["inps"], dev["poses"],
+                        dev["disps"], dev["intr"], meta, nets_e[sl],
+                        dev["target"], dev["weight"], dev["eta"],
+                        dev["upmask"], t_cap=t_cap)
+                nets_e = nets_e.at[sl].set(net_new)
+            dev["poses"], dev["disps"] = ba_ops.ba_global(
+                dev["target"], dev["weight"], dev["eta"], dev["poses"],
+                dev["disps"], dev["intr"], jnp.asarray(ii_p),
+                jnp.asarray(jj_p), valid_dev, jnp.asarray(gi),
+                jnp.asarray(gv), free, iters=self.gn_iters)
+
+        # ---- write back --------------------------------------------------
+        disps_up = upsample_disp(dev["disps"][:T], dev["upmask"][:T])
+        poses_h, disps_h, disps_up_h = jax.device_get(
+            (dev["poses"][:T], dev["disps"][:T], disps_up))
+        ns, nl = v.count_save, v.counter
+        v.poses_save[:ns] = poses_h[:ns]
+        v.disps_save[:ns] = disps_h[:ns]
+        v.disps_up_save[:ns] = disps_up_h[:ns]
+        if nl > 0:
+            b = v.bufs
+            v.bufs = b.replace(
+                poses=b.poses.at[:nl].set(jnp.asarray(poses_h[ns:])),
+                disps=b.disps.at[:nl].set(jnp.asarray(disps_h[ns:])),
+                disps_up=b.disps_up.at[:nl].set(
+                    jnp.asarray(disps_up_h[ns:])))
+        return {"frames": T, "edges": E, "skipped": False}

@@ -25,10 +25,11 @@ from .video import DepthVideo
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
-def _seed_next_kernel(bufs, t1, init_flag):
+def _seed_next_kernel(bufs, packed):
     """poses[t1] = poses[t1-1]; disps[t1] = mean of recent disps — one
     compiled program with traced indices (per-frame python-int indexing
-    would recompile every frame)."""
+    would recompile every frame). packed = [t1, init_flag] in one upload."""
+    t1, init_flag = packed[0], packed[1] != 0
     prev = bufs.poses[t1 - 1]
     win = jax.lax.dynamic_slice_in_dim(bufs.disps, jnp.maximum(t1 - 4, 0),
                                        4, axis=0)
@@ -199,5 +200,5 @@ class Frontend:
 
     def _seed_next(self, init=False):
         self.video.bufs = _seed_next_kernel(
-            self.video.bufs, jnp.asarray(self.t1, jnp.int32),
-            jnp.asarray(init))
+            self.video.bufs,
+            jnp.asarray(np.asarray([self.t1, 1 if init else 0], np.int32)))

@@ -101,21 +101,39 @@ def _store_inactive_kernel(inac: InactiveStore, edges: EdgeStore,
 
 
 @functools.partial(jax.jit, static_argnames=("w_ba", "iters", "update_apply",
-                                             "do_ba", "compute_cov"),
+                                             "do_ba", "compute_cov",
+                                             "e_cap", "i_cap",
+                                             "far_threshold",
+                                             "mask_threshold"),
                    donate_argnums=(2, 3))
 def _fused_update(params, update_apply, bufs: VideoBuffers,
                   edges: EdgeStore, inac: InactiveStore,
-                  slots, ii, jj, valid,
-                  inac_slots, inac_ii, inac_jj, inac_valid,
-                  base, t0, t1, flags, *, w_ba: int, iters: int,
+                  packed, *, e_cap: int, i_cap: int, w_ba: int, iters: int,
+                  far_threshold: float = -1.0, mask_threshold: float = -1.0,
                   do_ba: bool = True, compute_cov: bool = False):
     """One GRU+BA update over the active graph (covisible_graph.py:214-352).
 
-    slots/ii/jj/valid: fixed-cap active edge arrays (absolute window-buffer
-    frame ids). base: first frame of the BA window (t1 - w_ba, clipped).
-    t0: first free pose. flags: (imu_enabled, visual_only_init,
-    far_threshold, mask_threshold) as a float vector.
+    `packed` is ONE int32 host upload carrying all the per-call integers
+    (each separate jnp.asarray is a 1-40 ms tunnel round trip):
+    [slots(e) | ii(e) | jj(e) | valid(e) | inac slots/ii/jj/valid(i each) |
+    base, t0, t1, imu_enabled, visual_only]. base: first frame of the BA
+    window (t1 - w_ba, clipped). t0: first free pose.
     """
+    e, ic = e_cap, i_cap
+    slots = packed[0:e]
+    ii = packed[e:2 * e]
+    jj = packed[2 * e:3 * e]
+    valid = packed[3 * e:4 * e] != 0
+    o = 4 * e
+    inac_slots = packed[o:o + ic]
+    inac_ii = packed[o + ic:o + 2 * ic]
+    inac_jj = packed[o + 2 * ic:o + 3 * ic]
+    inac_valid = packed[o + 3 * ic:o + 4 * ic] != 0
+    base = packed[o + 4 * ic]
+    t0 = packed[o + 4 * ic + 1]
+    t1 = packed[o + 4 * ic + 2]
+    imu_enabled_i = packed[o + 4 * ic + 3]
+    vis_only_i = packed[o + 4 * ic + 4]
     h, w = bufs.disps.shape[1:3]
     coords0 = pops.coords_grid(h, w)
 
@@ -156,10 +174,10 @@ def _fused_update(params, update_apply, bufs: VideoBuffers,
         bufs.damping, damping_win, base, axis=0))
 
     # ---- weight tricks (covisible_graph.py:317-335) -------------------
-    imu_enabled = flags[0] > 0
-    vis_only = flags[1] > 0
-    far_thresh = flags[2]
-    mask_thresh = flags[3]
+    imu_enabled = imu_enabled_i > 0
+    vis_only = vis_only_i > 0
+    far_thresh = jnp.float32(far_threshold)
+    mask_thresh = jnp.float32(mask_threshold)
 
     disp_i = bufs.disps[ii]                       # (E, h, w)
     far_mask = (disp_i < far_thresh)[..., None]
@@ -468,37 +486,36 @@ class CovisibleGraph:
         base = max(0, t1 - self.w_ba)
 
         e = self.e_cap
-        slots = self._pad(self.slot, e)
-        ii = self._pad(self.ii, e)
-        jj = self._pad(self.jj, e)
-        valid = np.zeros(e, bool)
-        valid[:len(self.ii)] = True
-
         i_cap = self.i_cap
         if use_inactive and len(self.ii_inac) > 0:
             m = (self.ii_inac >= t0 - self.inac_range) & \
                 (self.jj_inac >= t0 - self.inac_range)
         else:
             m = np.zeros(len(self.ii_inac), bool)
-        in_slots = self._pad(self.slot_inac[m], i_cap)
-        in_ii = self._pad(self.ii_inac[m], i_cap)
-        in_jj = self._pad(self.jj_inac[m], i_cap)
-        in_valid = np.zeros(i_cap, bool)
-        in_valid[:int(m.sum())] = True
 
-        flags = jnp.asarray([1.0 if self.video.imu_enabled else 0.0,
-                             1.0 if self.video.visual_only_init else 0.0,
-                             self.far_threshold, self.mask_threshold],
-                            jnp.float32)
-        args = (
-            self.params, self.update_apply, self.video.bufs, self.edges,
-            self.inac,
-            jnp.asarray(slots, jnp.int32), jnp.asarray(ii, jnp.int32),
-            jnp.asarray(jj, jnp.int32), jnp.asarray(valid),
-            jnp.asarray(in_slots, jnp.int32), jnp.asarray(in_ii, jnp.int32),
-            jnp.asarray(in_jj, jnp.int32), jnp.asarray(in_valid),
-            jnp.asarray(base, jnp.int32), jnp.asarray(t0, jnp.int32),
-            jnp.asarray(t1, jnp.int32), flags)
+        # ONE packed int32 upload for all per-call integers (see
+        # _fused_update docstring)
+        packed = np.zeros(4 * e + 4 * i_cap + 5, np.int32)
+        na = len(self.ii)
+        packed[0:na] = self.slot
+        packed[e:e + na] = self.ii
+        packed[2 * e:2 * e + na] = self.jj
+        packed[3 * e:3 * e + na] = 1
+        o = 4 * e
+        nm = int(m.sum())
+        packed[o:o + nm] = self.slot_inac[m]
+        packed[o + i_cap:o + i_cap + nm] = self.ii_inac[m]
+        packed[o + 2 * i_cap:o + 2 * i_cap + nm] = self.jj_inac[m]
+        packed[o + 3 * i_cap:o + 3 * i_cap + nm] = 1
+        packed[o + 4 * i_cap:] = [base, t0, t1,
+                                  1 if self.video.imu_enabled else 0,
+                                  1 if self.video.visual_only_init else 0]
+
+        args = (self.params, self.update_apply, self.video.bufs, self.edges,
+                self.inac, jnp.asarray(packed))
+        kw = dict(e_cap=e, i_cap=i_cap, w_ba=self.w_ba, iters=iters,
+                  far_threshold=self.far_threshold,
+                  mask_threshold=self.mask_threshold)
 
         compute_cov = getattr(self, "_next_update_cov", False)
         self._next_update_cov = False
@@ -506,7 +523,7 @@ class CovisibleGraph:
         if inertial is not None and self.video.imu_enabled:
             # VIO: GRU on TPU, pose fusion on the host factor graph
             self.video.bufs, self.edges, ba_in = _fused_update(
-                *args, w_ba=self.w_ba, iters=iters, do_ba=False)
+                *args, **kw, do_ba=False)
             (tgt, wgt, eta_ba, all_ii, all_jj, all_valid, poses_win,
              disps_win, dsens_win, intr_win, upmask, has_edge) = ba_in
             poses_win, disps_win = inertial.multi_sensor_ba(
@@ -517,8 +534,7 @@ class CovisibleGraph:
                 disps_win, dsens_win, upmask, has_edge, w_ba=self.w_ba)
         else:
             self.video.bufs, self.edges = _fused_update(
-                *args, w_ba=self.w_ba, iters=iters, do_ba=True,
-                compute_cov=compute_cov)
+                *args, **kw, do_ba=True, compute_cov=compute_cov)
         self.age += 1
 
     # ------------------------------------------------------------------

@@ -108,10 +108,10 @@ def _reproject(bufs: VideoBuffers, ii, jj, steps=None):
     return coords
 
 
-@jax.jit
-def _distance(bufs: VideoBuffers, ii, jj, beta):
+@functools.partial(jax.jit, static_argnames=("beta",))
+def _distance(bufs: VideoBuffers, ii, jj, *, beta: float):
     return pops.frame_distance(bufs.poses, bufs.disps, bufs.intrinsics,
-                               ii, jj, beta=beta)
+                               ii, jj, beta=jnp.float32(beta))
 
 
 class DepthVideo:
@@ -208,9 +208,9 @@ class DepthVideo:
         pj[:n] = jj
         di = jnp.asarray(pi, jnp.int32)
         dj = jnp.asarray(pj, jnp.int32)
-        d = _distance(self.bufs, di, dj, jnp.float32(beta))
+        d = _distance(self.bufs, di, dj, beta=float(beta))
         if bidirectional:
-            d = 0.5 * (d + _distance(self.bufs, dj, di, jnp.float32(beta)))
+            d = 0.5 * (d + _distance(self.bufs, dj, di, beta=float(beta)))
         return np.asarray(jax.device_get(d))[:n]
 
     def c2w_matrices(self, upto=None):

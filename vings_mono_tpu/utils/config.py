@@ -39,6 +39,18 @@ DEFAULTS = {
         "upsample": True,
         "beta": 0.3,
     },
+    # terminate-pass global BA (reference visual_frontend.py:1460-1542)
+    "backend": {
+        "steps": 6,
+        "iters": 2,
+        "thresh": 25.0,
+        "nms": 2,
+        "radius": 2,
+        "degree_cap": 8,
+        "chunk": 32,
+        "encode_batch": 8,
+    },
+    "use_global_ba": False,
     "training_args": {
         "iters": 50,
         "num_keyframe": 5,
@@ -60,9 +72,15 @@ DEFAULTS = {
     "adc_args": {"accum_thresh": 0.5},
     "mapper": {
         "capacity": 1 << 19,
-        "pair_capacity": 1 << 21,
-        "chunk": 256,
-        "side": 5,
+        # on-chip-tuned rasterizer knobs (scripts/tune_binning.py): the
+        # exact ellipse-tile binning keeps real pair counts ~2-400k at
+        # 240x432, visible_capacity bounds the binning argsort, and side=3
+        # (48 px tile span) covers everything under the 25 px radii prune
+        "pair_capacity": 1 << 19,
+        "chunk": 128,
+        "side": 3,
+        "visible_capacity": 1 << 17,
+        "rebin_rows": 3,
         "kf_capacity": 20,
         "points_per_frame": 40000,
         "points_first_frame": 50000,

@@ -42,3 +42,16 @@ def trace(dirname):
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+def enable_compile_cache(path=None):
+    """Persistent XLA compile cache for bench/driver runs (tests enable it
+    in conftest; bench scripts call this). Saves the multi-minute tracker +
+    mapper compiles across runs when the backend supports serialization."""
+    import os
+    import jax
+    if path is None:
+        path = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
