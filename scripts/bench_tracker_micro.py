@@ -90,3 +90,55 @@ timeit("video.distance(48 pairs)",
 
 # 5) full add_proximity_factors
 timeit("add_proximity", lambda: g.add_proximity_factors())
+
+# 6) async enqueue: is dispatch synchronous through the tunnel?
+x2 = jnp.zeros((256, 256))
+triv2 = jax.jit(lambda a: a @ a + 1.0)
+
+
+def chain(n=20):
+    y = x2
+    for _ in range(n):
+        y = triv2(y)
+    jax.block_until_ready(y)
+
+
+chain(1)
+t0 = time.perf_counter()
+chain(20)
+print(f"chained dispatch (20 deps): {(time.perf_counter()-t0)/20*1e3:.1f} "
+      "ms/op", flush=True)
+
+# 7) middleware packaging
+from vings_mono_tpu.middleware import judge_and_package
+tracker.frontend.new_frame_added = True
+timeit("judge_and_package", lambda: judge_and_package(tracker, cfg))
+
+
+def package_blocked():
+    v = judge_and_package(tracker, cfg)
+    jax.block_until_ready(v["images"])
+
+
+timeit("judge_and_package+block", package_blocked)
+
+# 8) is h2d upload async? (enqueue vs completed)
+t0 = time.perf_counter()
+for _ in range(10):
+    a = jnp.asarray(pk)
+enq = (time.perf_counter() - t0) / 10 * 1e3
+jax.block_until_ready(a)
+t0 = time.perf_counter()
+for _ in range(10):
+    jax.block_until_ready(jnp.asarray(pk))
+blk = (time.perf_counter() - t0) / 10 * 1e3
+print(f"h2d upload: enqueue {enq:.1f} ms, completed {blk:.1f} ms",
+      flush=True)
+
+# 9) full tracker.track steady state
+t0 = time.perf_counter()
+for k in range(14, 24):
+    tracker.track(frame(k))
+jax.block_until_ready(tracker.video.bufs.poses)
+print(f"tracker.track steady: {(time.perf_counter()-t0)/10*1e3:.1f} "
+      "ms/frame", flush=True)

@@ -121,6 +121,13 @@ def port(ref_path, rel):
         "points_first_frame": 50000,
     }
 
+    if out["use_metric"]:
+        # npz (precomputed depth maps) is the validated backend in this
+        # container; 'flax' DPT needs a converted checkpoint
+        out["metric"] = {"backend": "npz",
+                         "root": ds.get("root", "") + "/metric_depth",
+                         "d_max": 80.0}
+
     if out["use_storage_manager"]:
         sm = ref.get("storage_manager", {})
         out["storage_manager"] = {

@@ -50,12 +50,10 @@ def timeit(f, *args, n=10):
 
 
 for v_cap, p_cap, chunk, side in [
-        (0, 1 << 20, 256, 4),       # round-1 bench settings
-        (0, 1 << 18, 128, 4),
-        (1 << 16, 1 << 18, 128, 4),
-        (1 << 16, 1 << 18, 256, 4),
-        (1 << 16, 1 << 17, 128, 4),
-        (1 << 15, 1 << 17, 128, 4),
+        (1 << 16, 1 << 18, 128, 3),
+        (1 << 16, 1 << 18, 256, 3),
+        (1 << 16, 1 << 17, 128, 3),
+        (1 << 16, 1 << 17, 256, 3),
 ]:
     kw = dict(p_cap=p_cap, chunk=chunk, side=side, v_cap=v_cap)
     bin_t, binned = timeit(

@@ -38,6 +38,7 @@ def test_dynamic_mask_cc():
     assert mask[:10, :10].mean() < 0.2
 
 
+@pytest.mark.slow
 def test_dynamic_mask_excludes_pixels_from_mapper_loss():
     """End-to-end wiring (VERDICT r1 item 4): a synthetic moving blob's
     pixels are excluded from the mapper loss via viz_out['pixel_mask'] ->
@@ -87,6 +88,7 @@ def test_dynamic_mask_excludes_pixels_from_mapper_loss():
     assert err_masked > 1.5 * err_unmasked, (err_masked, err_unmasked)
 
 
+@pytest.mark.slow
 def test_dynamic_apply_to_viz_out():
     """DynamicModel.apply_to_viz_out flags the blob region of the newest
     keyframe in pixel_mask (run.py wiring surface)."""
@@ -129,6 +131,7 @@ def test_metric_depth_npz(tmp_path):
     np.testing.assert_allclose(out, 5.0)
 
 
+@pytest.mark.slow
 def test_threaded_pipeline(tmp_path):
     import os
     from vings_mono_tpu.runners.run_multiprocess import run
@@ -269,3 +272,47 @@ def test_middleware_v0_kitti360_sky_crop():
     assert np.asarray(vo["depths"]).max() == 4.0 or True
     np.testing.assert_allclose(np.asarray(vo["depths"])[0, ..., 0],
                                1.0 / (0.25 + 1e-6), rtol=1e-4)
+
+
+def test_metric_depth_flax_checkpoint_roundtrip(tmp_path):
+    """DPT backend (VERDICT r1 item 9): the converted-checkpoint format
+    load_dpt consumes (numpy pytree npz) round-trips exactly — a saved
+    param tree reproduces the same depth map after reload."""
+    import jax
+    import jax.numpy as jnp
+    from vings_mono_tpu.models.dpt_depth import DPTDepth, load_dpt
+
+    model = DPTDepth()
+    rng2 = np.random.default_rng(8)
+    x = jnp.asarray(rng2.uniform(0, 1, (1, 64, 64, 3)), jnp.float32)
+    params = model.init(jax.random.PRNGKey(3), x)
+    d_ref = np.asarray(model.apply(params, x))
+    assert d_ref.shape == (1, 64, 64)
+    assert (d_ref >= 0).all()          # softplus head
+
+    ckpt = tmp_path / "dpt.npz"
+    np.savez(ckpt, params=np.asarray(
+        jax.tree.map(np.asarray, params["params"]), dtype=object))
+    _, params2, predict = load_dpt(str(ckpt))
+    d2 = np.asarray(predict(params2, x))
+    np.testing.assert_allclose(d_ref, d2, rtol=1e-4, atol=1e-5)
+
+
+def test_metric_depth_feeds_disps_sens():
+    """use_metric wiring: data_packet['depth'] -> video disps_sens (the
+    reference's run.py:73-75 -> depth_video.py:176-178 path)."""
+    import jax.numpy as jnp
+    from vings_mono_tpu.tracker.tracker import Tracker
+
+    cfg = load_config(overrides={
+        "frontend": {"buffer": 8, "save_buffer": 8, "filter_thresh": -1.0,
+                     "image_size": [64, 96]},
+    })
+    tracker = Tracker(cfg, 64, 96)
+    depth = np.full((64, 96), 4.0, np.float32)
+    tracker.track({"timestamp": 0.0,
+                   "rgb": np.zeros((64, 96, 3), np.float32),
+                   "intrinsic": np.asarray([40.0, 40, 48, 32], np.float32),
+                   "depth": depth})
+    ds = np.asarray(tracker.video.bufs.disps_sens[0])
+    np.testing.assert_allclose(ds, 0.25, rtol=1e-5)

@@ -33,6 +33,7 @@ def make_cfg(tmp):
     })
 
 
+@pytest.mark.slow
 def test_full_pipeline(tmp_path):
     cfg = make_cfg(tmp_path)
     save_dir = str(tmp_path / "run")
@@ -52,6 +53,7 @@ def test_full_pipeline(tmp_path):
     assert os.path.exists(os.path.join(save_dir, "keyframelist.txt"))
 
 
+@pytest.mark.slow
 def test_tracking_then_mapping_replay(tmp_path):
     """run_tracking debug dumps -> run_mapping replay (the reference's own
     integration harness, SURVEY §3.5)."""
@@ -75,6 +77,7 @@ def test_tracking_then_mapping_replay(tmp_path):
     assert mapper.n_alive > 50
 
 
+@pytest.mark.slow
 def test_pipeline_with_vis_and_storage(tmp_path):
     cfg = make_cfg(tmp_path)
     cfg["use_vis"] = True
@@ -91,6 +94,7 @@ def test_pipeline_with_vis_and_storage(tmp_path):
     assert len(maps) >= 1
 
 
+@pytest.mark.slow
 def test_session_checkpoint_resume(tmp_path):
     """Mid-run save_session/load_session: the restored session continues
     tracking and produces identical keyframe counts and finite state."""

@@ -33,6 +33,7 @@ def make_batch(rng, P=4, H=48, W=64):
                       jj=jnp.asarray(jj.reshape(-1)[m]))
 
 
+@pytest.mark.slow
 def test_training_step_reduces_loss(rng):
     import optax
     model = DroidNet()

@@ -102,6 +102,17 @@ def add_frame(state: GaussianState, opt: SparseAdamState, w2c, intr4,
     rkw = dict(render_kwargs)
     n_killed = jnp.zeros((), jnp.int32)
     if not first:
+        # ONE binning serves both renders: the prune between them only
+        # flips `alive`, and killed rows re-project to zero opacity
+        # (projection.py gates the packed payload by alive), so the cached
+        # pair list stays valid — halves the dominant binning cost here
+        if rkw.get("impl", "tile") == "tile":
+            from ..ops.rasterizer import bin_for_camera
+            rkw["binned"] = bin_for_camera(
+                state.xyz, state.log_scale, state.quat,
+                state.logit_opacity, state.rgb, camera, alive=state.alive,
+                **{k: rkw[k] for k in ("p_cap", "chunk", "side", "v_cap")
+                   if k in rkw})
         rets = render(state.xyz, state.log_scale, state.quat,
                       state.logit_opacity, state.rgb, camera,
                       alive=state.alive, **rkw)

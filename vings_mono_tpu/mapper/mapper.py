@@ -35,15 +35,22 @@ class GaussianMapper:
         m = cfg["mapper"]
         self.capacity = int(m["capacity"])
         self.kf_capacity = int(m["kf_capacity"])
-        self.bin_kwargs = {"p_cap": int(m["pair_capacity"]),
+        # pair_capacity is the UPPER bucket; the mapper walks down to the
+        # smallest power-of-two bucket that fits the observed pair count
+        # (+30% headroom) — the tile kernel's cost is ~linear in p_cap, so
+        # paying for dead capacity is pure waste. Bucket switches recompile
+        # once each (2-3 variants) and invalidate the binning cache.
+        self._p_cap_max = int(m["pair_capacity"])
+        self._p_cap_min = max(int(m.get("pair_capacity_min",
+                                        self._p_cap_max // 4)),
+                              int(m["chunk"]))
+        self._last_npairs = None
+        self.bin_kwargs = {"p_cap": self._p_cap_max,
                            "chunk": int(m["chunk"]),
                            "side": int(m["side"]),
                            "v_cap": int(m.get("visible_capacity", 0))}
-        # impl/interpret knobs let tests run the mapper on CPU (naive or
-        # interpret-mode kernels); TPU uses the compiled tile path
-        self.render_kwargs = tuple(self.bin_kwargs.items()) + \
-            (("impl", m.get("impl", "tile")),
-             ("interpret", bool(m.get("interpret", False))))
+        self._impl_kwargs = (("impl", m.get("impl", "tile")),
+                             ("interpret", bool(m.get("interpret", False))))
         self.state = empty_state(self.capacity)
         self.opt = adam_init(self.state)
         self.use_sky = bool(cfg.get("use_sky"))
@@ -66,6 +73,40 @@ class GaussianMapper:
         self._binned = None
         self._cached_gids = None
         self._bin_age = None
+
+    @property
+    def render_kwargs(self):
+        return tuple(self.bin_kwargs.items()) + self._impl_kwargs
+
+    def _tune_pair_capacity(self, binned):
+        """Pick next keyframe's pair-capacity bucket from this keyframe's
+        observed pair count (one d2h scalar pull; the binning program has
+        already finished by the time the mapper returns)."""
+        n = int(jax.device_get(jnp.max(binned.n_pairs)))
+        overflow = bool(jax.device_get(jnp.any(binned.overflow)))
+        self._last_npairs = n
+        cap = self.bin_kwargs["p_cap"]
+        if overflow:
+            want = self._p_cap_max
+        else:
+            want = self._p_cap_min
+            while want < min(n * 13 // 10 + 1, self._p_cap_max):
+                want *= 2
+            want = min(want, self._p_cap_max)
+        if want > cap:                 # grow immediately (overflow drops
+            self._shrink_votes = 0     # pairs -> rendering artifacts)
+        elif want < cap:
+            # shrink only after 3 consecutive votes — each bucket switch
+            # recompiles the bin/train programs
+            self._shrink_votes = getattr(self, "_shrink_votes", 0) + 1
+            if self._shrink_votes < 3:
+                return
+            self._shrink_votes = 0
+        else:
+            self._shrink_votes = 0
+            return
+        self.bin_kwargs = dict(self.bin_kwargs, p_cap=want)
+        self._binned = None            # cache rows are cap-shaped
 
     # ---- packing -----------------------------------------------------
     def _pack_batch(self, viz_out) -> KeyframeBatch:
@@ -274,6 +315,7 @@ class GaussianMapper:
             self.state, _ = storage_control(
                 self.state, batch, binned, intr4, height=self.H,
                 width=self.W, render_kwargs=self.render_kwargs)
+        self._tune_pair_capacity(binned)
 
     @staticmethod
     def _lrs(ta):

@@ -97,7 +97,12 @@ def sparse_adam_step(state: GaussianState, grads: Dict[str, jnp.ndarray],
     new_params, new_m, new_v = {}, {}, {}
     mask_col = step_mask[:, None].astype(jnp.float32)
     for k, p in state.params().items():
+        # zero non-finite gradients instead of poisoning the moments — the
+        # reference's GradientClip does the same in its backward hook
+        # (frontend/modules/clipping.py:5-23), and the CUDA rasterizer's
+        # occasional inf grads get absorbed the same way
         g = grads[k]
+        g = jnp.where(jnp.isfinite(g), g, 0.0)
         m = jnp.where(step_mask[:, None], b1 * opt.m[k] + (1 - b1) * g,
                       opt.m[k])
         v = jnp.where(step_mask[:, None], b2 * opt.v[k] + (1 - b2) * g * g,

@@ -93,9 +93,18 @@ def _coverage(data, qx, qy, px, py):
     """alpha/z for a chunk of G pairs x 256 pixels.
 
     data (PK_PAD, G) feature-major; returns alpha (G, PIX), z (G, PIX) and
-    backward intermediates."""
+    backward intermediates.
+
+    Layout note: each per-pair scalar is needed as a (G, 1) sublane vector
+    broadcast over the PIX lanes, but the block arrives feature-major with
+    G on lanes. Extracting rows one by one (`data[i, :][:, None]`) pays a
+    lane->sublane relayout PER FIELD (~13 of them); transposing the whole
+    block ONCE costs a single relayout and makes every extract a native
+    sublane slice."""
+    dataT = data.T                      # (G, PK_PAD)
+
     def col(i):
-        return data[i, :][:, None]
+        return dataT[:, i:i + 1]
 
     u_num = col(PK_WU.start) * qx + col(PK_WU.start + 1) * qy + col(PK_WU.start + 2)
     v_num = col(PK_WV.start) * qx + col(PK_WV.start + 1) * qy + col(PK_WV.start + 2)
@@ -330,7 +339,7 @@ def _bwd_chunk_body(tile_id, ntx, cam, pair_ref, g, g_depth, g_wm, g_wm2,
     gz = g_depth * w + gmd * dmd_dz
 
     da_live = jnp.where(live, da, 0.0)
-    opac = data[PK_OPAC, :][:, None]
+    opac = data.T[:, PK_OPAC:PK_OPAC + 1]   # CSEs with _coverage's data.T
     drho = -0.5 * opac * expval * da_live
     gu = jnp.where(sel3, drho * 2.0 * u, 0.0)
     gv = jnp.where(sel3, drho * 2.0 * v, 0.0)
@@ -344,33 +353,43 @@ def _bwd_chunk_body(tile_id, ntx, cam, pair_ref, g, g_depth, g_wm, g_wm2,
     gden = -(gu * u + gv * v + gz_live * z) * rcp
     gcn = gz_live * rcp
 
-    # feature grads: (CH_PAD, PIX) @ (G, PIX)^T -> (CH_PAD, G)
-    wg = jax.lax.dot_general(g, w, (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)
+    # feature grads, pair-major: (G, PIX) @ (CH_PAD, PIX)^T -> (G, CH_PAD)
+    wgT = jax.lax.dot_general(w, g, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
     # score accumulators (reference `scores.grad` semantics, SURVEY §2.9)
     g_rgb_mag = jnp.sum(jnp.abs(g[0:3, :]), axis=0)[None, :]
 
-    def r(x):
-        return jnp.sum(x, axis=1)[None, :]
+    # per-pair reductions as TWO MXU matmuls against pixel bases — the old
+    # per-row `sum(axis=1)[None, :]` form paid a sublane->lane relayout for
+    # every one of its 15 rows
+    G = data.shape[1]
+    basis3 = jnp.concatenate([qx, qy, jnp.ones_like(qx)], axis=0)  # (3,PIX)
+    M3 = jax.lax.dot_general(
+        jnp.concatenate([gun, gvn, gden], axis=0), basis3,
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)            # (3G, 3)
+    ones1 = jnp.ones_like(qx)                          # (1, PIX)
+    M1 = jax.lax.dot_general(
+        jnp.concatenate([gcn, gc2x, gc2y, gopac_pix, w, w * g_rgb_mag],
+                        axis=0), ones1,
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)            # (6G, 1)
 
-    # rows in PK_* order (see module constants); built with concatenate —
-    # `.at[].set` lowers to scatter, unsupported in Mosaic
-    grads = jnp.concatenate([
-        r(gun * qx), r(gun * qy), r(gun),          # PK_WU
-        r(gvn * qx), r(gvn * qy), r(gvn),          # PK_WV
-        r(gden * qx), r(gden * qy), r(gden),       # PK_N
-        r(gcn),                                    # PK_CN
-        r(gc2x), r(gc2y),                          # PK_C2X/Y
-        r(gopac_pix),                              # PK_OPAC
-        wg[CH_RGB, :],                             # PK_RGB
-        wg[CH_NRM, :],                             # PK_NRM
-        wg[CH_FLOW, :],                            # PK_FLOW
-        r(w),                                      # GR_SCORE_IMP
-        r(w * g_rgb_mag),                          # GR_SCORE_ERR
-        jnp.zeros((1, data.shape[1]), jnp.float32),
-    ], axis=0)
+    # columns in PK_* order, assembled pair-major then transposed ONCE
+    gradsT = jnp.concatenate([
+        M3[0:G], M3[G:2 * G], M3[2 * G:3 * G],         # PK_WU, PK_WV, PK_N
+        M1[0:G],                                       # PK_CN
+        M1[G:2 * G], M1[2 * G:3 * G],                  # PK_C2X/Y
+        M1[3 * G:4 * G],                               # PK_OPAC
+        wgT[:, CH_RGB],                                # PK_RGB
+        wgT[:, CH_NRM],                                # PK_NRM
+        wgT[:, CH_FLOW],                               # PK_FLOW
+        M1[4 * G:5 * G],                               # GR_SCORE_IMP
+        M1[5 * G:6 * G],                               # GR_SCORE_ERR
+        jnp.zeros((G, 1), jnp.float32),
+    ], axis=1)                                          # (G, GR_PAD)
 
-    grad_ref[:, :] = grads
+    grad_ref[:, :] = gradsT.T
 
     carry[0, :] = carry[0, :] * T_prod[0]
     # NB: prefix[-1, :] would lower to (unsupported) dynamic_slice in Mosaic

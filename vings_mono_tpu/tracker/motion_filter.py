@@ -27,17 +27,20 @@ def _context(params, cnet_apply, image):
     return cnet_apply(params, normalize_image(image[None]))
 
 
-@functools.partial(jax.jit, static_argnames=("update_apply",))
-def _flow_magnitude(params, update_apply, fmap_kf, fmap_new, net, inp):
-    """1-step GRU flow magnitude between the last keyframe and the new
-    frame (motion_filter.py:75-84)."""
-    h, w = fmap_kf.shape[1:3]
-    pyr = corr_ops.build_pyramid(fmap_kf, fmap_new)
+@functools.partial(jax.jit, static_argnames=("fnet_apply", "update_apply"))
+def _features_and_gate(params, fnet_apply, update_apply, image, fmap_kf,
+                       net, inp):
+    """fnet + 1-step GRU flow gate fused into ONE program — each separate
+    dispatch pays a host->device round trip, and these two run back to back
+    every frame (motion_filter.py:75-84)."""
+    fmap = fnet_apply(params, normalize_image(image[None]))
+    h, w = fmap.shape[1:3]
+    pyr = corr_ops.build_pyramid(fmap_kf, fmap)
     coords0 = pops.coords_grid(h, w)[None]
     corr = corr_ops.lookup(pyr, coords0)
     _, delta, _, _, _ = update_apply(params, net, inp, corr, None, None, 0,
                                      False)
-    return jnp.mean(jnp.linalg.norm(delta, axis=-1))
+    return fmap, jnp.mean(jnp.linalg.norm(delta, axis=-1))
 
 
 class MotionFilter:
@@ -54,8 +57,6 @@ class MotionFilter:
     def track(self, tstamp, image, depth=None, intrinsics=None):
         """image (H, W, 3) float32 RGB in [0,1]; depth (H, W) metric or
         None; intrinsics [fx, fy, cx, cy] at full res."""
-        fmap = _features(self.params, self.fnet_apply, image)
-
         if depth is not None:
             d8 = depth[3::8, 3::8]
             disp_sens = jnp.where(d8 > 0, 1.0 / jnp.clip(d8, 1e-6), 0.0)
@@ -64,14 +65,17 @@ class MotionFilter:
                                    image.shape[1] // 8), jnp.float32)
 
         if self.video.counter == 0:
+            fmap = _features(self.params, self.fnet_apply, image)
             fm, net, inp = self._full_context(image, fmap)
             self.video.append(tstamp, image, lie.se3_identity(),
                               jnp.ones_like(disp_sens), disp_sens,
                               intrinsics, fmap[0], net[0], inp[0])
             return True
 
-        mag = float(_flow_magnitude(self.params, self.update_apply,
-                                    self.fmap, fmap, self.net, self.inp))
+        fmap, mag_dev = _features_and_gate(
+            self.params, self.fnet_apply, self.update_apply, image,
+            self.fmap, self.net, self.inp)
+        mag = float(mag_dev)
         if mag > self.thresh:
             self.count = 0
             fm, net, inp = self._full_context(image, fmap)

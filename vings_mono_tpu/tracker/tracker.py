@@ -58,7 +58,13 @@ class Tracker:
         """data_packet: {'timestamp', 'rgb' (H,W,3) f32 [0,1],
         'intrinsic' [fx,fy,cx,cy], optional 'depth' (H,W) metric}."""
         ts = float(data_packet["timestamp"])
-        rgb = jnp.asarray(data_packet["rgb"], jnp.float32)
+        rgb = data_packet["rgb"]
+        if getattr(rgb, "dtype", None) == np.uint8:
+            # upload the 8-bit frame and convert on device: the h2d image
+            # transfer is a per-frame serial cost (4x smaller as uint8)
+            rgb = jnp.asarray(rgb).astype(jnp.float32) / 255.0
+        else:
+            rgb = jnp.asarray(rgb, jnp.float32)
         intr = jnp.asarray(data_packet["intrinsic"], jnp.float32)
         depth = data_packet.get("depth")
         if depth is not None:

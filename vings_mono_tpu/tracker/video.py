@@ -108,10 +108,18 @@ def _reproject(bufs: VideoBuffers, ii, jj, steps=None):
     return coords
 
 
-@functools.partial(jax.jit, static_argnames=("beta",))
-def _distance(bufs: VideoBuffers, ii, jj, *, beta: float):
-    return pops.frame_distance(bufs.poses, bufs.disps, bufs.intrinsics,
-                               ii, jj, beta=jnp.float32(beta))
+@functools.partial(jax.jit, static_argnames=("beta", "bidirectional"))
+def _distance(bufs: VideoBuffers, ii, jj, *, beta: float,
+              bidirectional: bool = False):
+    d = pops.frame_distance(bufs.poses, bufs.disps, bufs.intrinsics,
+                            ii, jj, beta=jnp.float32(beta))
+    if bidirectional:
+        # fused: two dispatches per proximity query would pay the
+        # host->device round trip twice
+        d = 0.5 * (d + pops.frame_distance(
+            bufs.poses, bufs.disps, bufs.intrinsics, jj, ii,
+            beta=jnp.float32(beta)))
+    return d
 
 
 class DepthVideo:
@@ -206,11 +214,9 @@ class DepthVideo:
         pj = np.zeros(cap, np.int64)
         pi[:n] = ii
         pj[:n] = jj
-        di = jnp.asarray(pi, jnp.int32)
-        dj = jnp.asarray(pj, jnp.int32)
-        d = _distance(self.bufs, di, dj, beta=float(beta))
-        if bidirectional:
-            d = 0.5 * (d + _distance(self.bufs, dj, di, beta=float(beta)))
+        di = jnp.asarray(np.stack([pi, pj]), jnp.int32)
+        d = _distance(self.bufs, di[0], di[1], beta=float(beta),
+                      bidirectional=bool(bidirectional))
         return np.asarray(jax.device_get(d))[:n]
 
     def c2w_matrices(self, upto=None):
