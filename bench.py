@@ -44,7 +44,7 @@ def main():
         "training_args": {"iters": 50, "num_keyframe": 5},
         "mapper": {"capacity": 1 << 18, "pair_capacity": 1 << 18,
                    "chunk": 128, "side": 3, "visible_capacity": 1 << 16,
-                   "kf_capacity": 8,
+                   "kf_capacity": 8, "adaptive_iters": 23.0,
                    "points_per_frame": 20000, "points_first_frame": 30000},
     })
 
@@ -77,6 +77,16 @@ def main():
     # recompiles the bin/train programs, which must not land inside the
     # measured section (long runs settle the bucket the same way)
     mapper._p_cap_min = mapper._p_cap_max = mapper.bin_kwargs["p_cap"]
+    # pre-compile the adaptive halved-iters train_loop variant so the
+    # PSNR-triggered switch doesn't compile mid-measurement
+    if viz is not None and mapper._metrics_dev is not None:
+        vz = dict(viz)
+        vz["viz_out_idx_to_f_idx"] = \
+            np.asarray(vz["viz_out_idx_to_f_idx"]) + 1000.0
+        mapper._metrics_dev = dict(mapper._metrics_dev,
+                                   psnr=jnp.asarray(99.0))
+        mapper.run(vz)
+        jax.block_until_ready(mapper.state.xyz)
 
     # measured section runs tracker || mapper as two host threads (the
     # reference's 2-process pipeline, run_multiprocess.py:84-107): the

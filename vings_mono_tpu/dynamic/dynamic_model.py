@@ -8,8 +8,8 @@ Backends for the segmenter:
     supports offline `sam_anns/*.pt`, dynamic_utils.py:54-61),
   * 'cc' — cv2 connected components over the high-error region (a
     weights-free stand-in for FastSAM's segment-everything),
-  * a flax YOLOv8-seg port is the planned 'flax' backend once converted
-    weights are supplied.
+  * 'flax' — the YOLOv8-seg graph in models/fastsam.py (FastSAM-class
+    segment-everything; feed converted weights via dynamic.weights).
 """
 
 from __future__ import annotations
@@ -36,6 +36,20 @@ class DynamicModel:
         if self.backend == "precomputed":
             root = dcfg.get("ann_root", "")
             self.ann_files = sorted(glob.glob(os.path.join(root, "*.np*")))
+        elif self.backend == "flax":
+            import jax
+            from ..models.fastsam import FastSAM
+            self._seg_model = FastSAM(
+                width=float(dcfg.get("width", 0.25)),
+                depth=float(dcfg.get("depth", 0.34)))
+            w = dcfg.get("weights")
+            if w:
+                self._seg_params = {"params": np.load(
+                    w, allow_pickle=True)["params"].item()}
+            else:
+                self._seg_params = self._seg_model.init(
+                    jax.random.PRNGKey(0), np.zeros((1, 64, 64, 3),
+                                                    np.float32))
 
     def _segments(self, rgb, err_mask):
         """Returns a list of boolean segment masks."""
@@ -44,6 +58,10 @@ class DynamicModel:
             self.idx += 1
             segs = z[z.files[0]] if hasattr(z, "files") else z
             return [segs == k for k in np.unique(segs) if k > 0]
+        if self.backend == "flax":
+            from ..models.fastsam import segment_everything
+            return segment_everything(self._seg_model, self._seg_params,
+                                      rgb)
         if cv2 is None:
             return []
         n, labels = cv2.connectedComponents(

@@ -291,6 +291,17 @@ class GaussianMapper:
             batch = batch._replace(w2cs=jnp.linalg.inv(new_c2ws))
             self.refined_poses = new_c2ws
 
+        iters = int(ta["iters"])
+        adaptive = self.cfg["mapper"].get("adaptive_iters")
+        if adaptive and self._metrics_dev is not None:
+            # converged windows need fewer refinement iterations — halve
+            # the budget once the window PSNR clears the bar (two compiled
+            # variants; VERDICT r1 next-step 1b). The PSNR host pull rides
+            # the same sync as the pair-count pull below.
+            last_psnr = float(jax.device_get(self._metrics_dev["psnr"]))
+            if last_psnr > float(adaptive):
+                iters = max(iters // 2, 10)
+
         lrs = self._lrs(ta)
         sky_kwargs = {}
         if self.use_sky:
@@ -301,7 +312,7 @@ class GaussianMapper:
                               sky_opt=self.sky.opt, sky_images=sky_images)
         self.state, self.opt, sky_state, sky_opt, metrics = train_loop(
             self.state, self.opt, batch, binned, intr4, self._next_key(),
-            iters=int(ta["iters"]), height=self.H, width=self.W,
+            iters=iters, height=self.H, width=self.W,
             weights=ta["loss_weights"], lrs=lrs,
             render_kwargs=self.render_kwargs, **sky_kwargs)
         if self.use_sky:

@@ -72,10 +72,17 @@ class MotionFilter:
                               intrinsics, fmap[0], net[0], inp[0])
             return True
 
-        fmap, mag_dev = _features_and_gate(
-            self.params, self.fnet_apply, self.update_apply, image,
-            self.fmap, self.net, self.inp)
-        mag = float(mag_dev)
+        if self.thresh < 0:
+            # gate disabled (every frame is a keyframe): skip the flow
+            # magnitude entirely — float(mag) is a device sync the host
+            # would otherwise pay every frame
+            fmap = _features(self.params, self.fnet_apply, image)
+            mag = float("inf")
+        else:
+            fmap, mag_dev = _features_and_gate(
+                self.params, self.fnet_apply, self.update_apply, image,
+                self.fmap, self.net, self.inp)
+            mag = float(mag_dev)
         if mag > self.thresh:
             self.count = 0
             fm, net, inp = self._full_context(image, fmap)

@@ -81,6 +81,9 @@ DEFAULTS = {
         "side": 3,
         "visible_capacity": 1 << 17,
         "rebin_rows": 3,
+        # PSNR bar above which the per-KF training iteration budget halves
+        # (None = always full budget, reference parity)
+        "adaptive_iters": None,
         "kf_capacity": 20,
         "points_per_frame": 40000,
         "points_first_frame": 50000,
