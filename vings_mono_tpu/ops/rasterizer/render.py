@@ -70,16 +70,23 @@ _take_rows.defvjp(_take_rows_fwd, _take_rows_bwd)
 
 def rasterize_binned(packed, score_carrier, binned: BinnedScene,
                      camera: Camera, interpret=False):
-    """Render pre-binned surfels. packed (N, PK_PAD) differentiable."""
+    """Render pre-binned surfels. packed (N, PK_PAD) differentiable.
+
+    The (N, 2) score carrier is spliced into the payload's pad columns so
+    pairs are gathered (and their grads segment-reduced) in ONE (N, 24)
+    pass — profiling showed the separate score gather costing as much as
+    the payload gather."""
+    N = packed.shape[0]
+    ext = jnp.concatenate(
+        [packed[:, :21], score_carrier,
+         jnp.zeros((N, 1), packed.dtype)], axis=1)       # (N, PK_PAD)
     valid_f = binned.pair_valid.astype(packed.dtype)
-    pair_data = _take_rows(packed, binned.pair_idx, valid_f, binned.gperm,
+    pair_data = _take_rows(ext, binned.pair_idx, valid_f, binned.gperm,
                            binned.gbounds).T
-    pair_scores = _take_rows(score_carrier, binned.pair_idx, valid_f,
-                             binned.gperm, binned.gbounds).T
     nty, ntx = num_tiles(camera.height, camera.width)
     meta = jnp.asarray([camera.fx, camera.fy, camera.cx, camera.cy,
                         jnp.float32(ntx), 0.0, 0.0, 0.0], jnp.float32)
-    out_tiles = rasterize_pairs(pair_data, pair_scores, binned.chunk_tile,
+    out_tiles = rasterize_pairs(pair_data, binned.chunk_tile,
                                 binned.chunk_first, meta, nty * ntx,
                                 interpret)
     return _unpack_tiles(out_tiles, camera.height, camera.width)

@@ -429,22 +429,26 @@ def rasterize_backward(pair_data, chunk_tile, chunk_first, meta, out_saved,
 # custom-VJP wrapper
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def rasterize_pairs(pair_data, score_carrier, chunk_tile, chunk_first, meta,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def rasterize_pairs(pair_data, chunk_tile, chunk_first, meta,
                     num_tiles, interpret=False):
     """Differentiable tile rasterization over packed pair data.
 
-    pair_data (PK_PAD, P_CAP); `score_carrier` (2, P_CAP) is an all-zeros
-    array whose *cotangent* is filled with per-pair (importance, error)
-    scores — mirroring the reference's `_zeros.grad` trick
-    (gaussian_base.py:71,392). Returns (num_tiles, CH_PAD, PIX).
+    pair_data (PK_PAD, P_CAP). Rows 0..20 are the projected surfel payload;
+    rows GR_SCORE_IMP/GR_SCORE_ERR (21/22) are the all-zeros score-carrier
+    columns the caller splices in — their *cotangent* comes back filled
+    with per-pair (importance, error) scores, mirroring the reference's
+    `_zeros.grad` trick (gaussian_base.py:71,392). Folding the carrier
+    into the payload keeps the pair gather/segment-reduce to ONE (N, 24)
+    pass per direction — the separate (N, 2) score gather cost as much as
+    the payload gather (gathers are row-latency-bound, not bandwidth).
+    Returns (num_tiles, CH_PAD, PIX).
     """
-    del score_carrier
     return rasterize_forward(pair_data, chunk_tile, chunk_first, meta,
                              num_tiles, interpret=interpret)
 
 
-def _rasterize_fwd(pair_data, score_carrier, chunk_tile, chunk_first, meta,
+def _rasterize_fwd(pair_data, chunk_tile, chunk_first, meta,
                    num_tiles, interpret):
     out = rasterize_forward(pair_data, chunk_tile, chunk_first, meta,
                             num_tiles, interpret=interpret)
@@ -455,9 +459,9 @@ def _rasterize_bwd(num_tiles, interpret, res, g_out):
     pair_data, out_saved, chunk_tile, chunk_first, meta = res
     grads = rasterize_backward(pair_data, chunk_tile, chunk_first, meta,
                                out_saved, g_out, interpret=interpret)
-    d_pair = grads[:PK_PAD, :].at[PK_PAD - 3:, :].set(0.0)
-    d_scores = grads[GR_SCORE_IMP:GR_SCORE_ERR + 1, :]
-    return d_pair, d_scores, None, None, None
+    # rows 21/22 carry the scores back to the carrier columns; row 23 pad
+    d_pair = grads[:PK_PAD, :].at[PK_PAD - 1:, :].set(0.0)
+    return (d_pair, None, None, None)
 
 
 rasterize_pairs.defvjp(_rasterize_fwd, _rasterize_bwd)
