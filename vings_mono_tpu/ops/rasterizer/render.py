@@ -61,7 +61,11 @@ def _take_rows_bwd(res, g):
     gs = gz[gperm]                                   # row gather
     csum = jnp.concatenate([jnp.zeros((1, g.shape[1]), g.dtype),
                             jnp.cumsum(gs, axis=0)], axis=0)
-    seg = csum[gbounds[1:]] - csum[gbounds[:-1]]     # (N, C)
+    # ONE boundary gather then adjacent diff (csum[gbounds[1:]] -
+    # csum[gbounds[:-1]] would gather the same rows twice; row gathers are
+    # latency-bound and dominate the mapper backward)
+    cb = csum[gbounds]                               # (N+1, C)
+    seg = cb[1:] - cb[:-1]                           # (N, C)
     return seg, None, None, None, None
 
 
