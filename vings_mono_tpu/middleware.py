@@ -11,6 +11,16 @@ One deliberate divergence from the reference: it selects "valid local
 keyframes" by indexing the *edge array by position* t0..t1
 (middleware_utils.py:216) — a quirk approximating "frames >= t0 that source
 an edge, minus the newest"; we implement that intent directly.
+
+Variant coverage:
+  * v3 (default) — the covisible-window packaging below;
+  * v0_kitti360 (middleware.variant) — save-buffer + sky-crop packaging;
+  * nerfslam (middleware_utils.py:256-301) — its gating math (depth >
+    max_depth OR cov > cov_times*median, rgb zeroed with depth) is
+    identical to v3's; the only difference is the source buffer (the
+    nerfslam frontend's dirty keyframes vs the covisible selection),
+    which this rebuild's consolidated frontend already unifies — so
+    mode=vo_nerfslam intentionally routes through v3.
 """
 
 from __future__ import annotations

@@ -98,7 +98,11 @@ def rasterize_binned(packed, score_carrier, binned: BinnedScene,
 
 def _channels_to_rets(ch, proj: ProjectedSurfels):
     alpha = ch[4:5]
-    depth = ch[3:4] / jnp.where(alpha == 0.0, 1.0, alpha)
+    # clamp the alpha divisor: at barely-covered pixels 1/alpha explodes
+    # the depth-loss gradient (d depth/d alpha ~ 1/alpha^2) — this was the
+    # root of a dist+depth loss NaN blowup on low-coverage scenes; pixels
+    # with alpha < 1e-3 carry no reliable expected depth anyway
+    depth = ch[3:4] / jnp.maximum(alpha, 1e-3)
     wm, wm2 = ch[11:12], ch[12:13]
     # 2DGS distortion sum_{i<j} w_i w_j (m_i - m_j)^2 == A*D2 - D1^2;
     # computing it from the emitted totals keeps per-pair prefix scans out of

@@ -21,6 +21,9 @@ import math
 
 import numpy as np
 
+import jax
+import jax.numpy as jnp
+
 from . import factor_graph as fg
 from .imu import ImuParams, Preintegration, so3_exp, so3_log
 from ..ops import lie
@@ -306,11 +309,13 @@ class InertialFusion:
             S, v, aux = ba_ops.ba_hessian(
                 target, weight, eta, poses_win, disps_win, intr_win,
                 ii, jj, edge_valid, fixedp=0)
-            # slice out the free window [t0-base, t1-base)
+            # slice out the free window [t0-base, t1-base); ONE combined
+            # d2h pull — each separate pull pays the full tunnel round trip
             lo = t0 - base
             hi = t1 - base
-            S_np = np.array(np.asarray(S)[lo:hi, lo:hi])
-            v_np = np.array(np.asarray(v)[lo:hi])
+            S_np, v_np = jax.device_get((S[lo:hi, lo:hi], v[lo:hi]))
+            S_np = np.array(S_np)
+            v_np = np.array(v_np)
             for d in range(6):
                 S_np[0, 0, d, d] += 0.00025   # stability (ref :485)
             Hb, vb, A = fg.conjugate_vision_hessian(S_np, v_np, self.T_bc)
