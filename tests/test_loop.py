@@ -192,3 +192,59 @@ def test_candidate_policy():
     cands = lm.find_candidates(c2ws, 50)       # full circle -> near start
     assert len(cands) >= 1
     assert cands[0] < 10
+
+
+def test_retrain_gaussians_after_loop():
+    """Optional loop-closure retrain (ref loop_rectify.py:463-548): trains
+    the re-anchored map photometrically against saved keyframes at the
+    corrected poses; improves the render at those poses."""
+    import sys
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from synthetic import make_viz_out
+    from vings_mono_tpu.mapper.mapper import GaussianMapper
+    from vings_mono_tpu.tracker.video import DepthVideo
+    from vings_mono_tpu.loop.rectify import retrain_gaussians
+    from vings_mono_tpu.mapper.losses import psnr
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(9)
+    viz_out, _ = make_viz_out(rng, n_kf=3)
+    cfg = load_config(overrides={
+        "frontend": {"buffer": 8, "save_buffer": 8},
+        "mapper": {"capacity": 4096, "pair_capacity": 4096, "chunk": 64,
+                   "side": 5, "kf_capacity": 4, "points_per_frame": 512,
+                   "points_first_frame": 512, "impl": "naive"},
+        "training_args": {"iters": 8, "num_keyframe": 2},
+    })
+    m = GaussianMapper(cfg)
+    m.run(viz_out)          # lightly-trained map (8 iters)
+
+    video = DepthVideo(cfg, 32, 32)
+    video.count_save = 3
+    video.images_save[:3] = np.asarray(viz_out["images"])
+    video.disps_up_save[:3] = 1.0 / np.clip(
+        np.asarray(viz_out["depths"])[..., 0], 1e-4, None)
+    video.depths_cov_up_save[:3] = 0.01
+    w2cs = np.linalg.inv(np.asarray(viz_out["poses"]))
+    from vings_mono_tpu.ops import lie
+    video.poses_save[:3] = np.asarray(lie.se3_from_matrix(
+        jnp.asarray(w2cs, jnp.float32)))
+
+    def mean_psnr():
+        vals = []
+        for k in range(3):
+            rets = m.render_at(w2cs[k], viz_out["intrinsic"])
+            gt = jnp.moveaxis(jnp.asarray(viz_out["images"][k]), -1, 0)
+            mask = jnp.asarray(viz_out["depths"][k][..., 0] > 0)
+            vals.append(float(psnr(rets["rgb"], gt, mask)))
+        return np.mean(vals)
+
+    before = mean_psnr()
+    n = retrain_gaussians(m, video, viz_out["intrinsic"], 0, 2)
+    assert n == 3
+    # another rounds of refinement on the same data must help a
+    # lightly-trained map
+    for _ in range(4):
+        retrain_gaussians(m, video, viz_out["intrinsic"], 0, 2)
+    after = mean_psnr()
+    assert after > before, (before, after)

@@ -118,6 +118,12 @@ class LoopModel:
             rectify_tracker(tracker, new_c2ws, mapper=mapper,
                             intrinsic=intr, loop_start=cand,
                             loop_end=cur_gid)
+            if self.cfg.get("looper", {}).get("retrain"):
+                # optional post-rectification map refinement
+                # (ref loop_rectify.py:463-548)
+                from .rectify import retrain_gaussians
+                retrain_gaussians(mapper, tracker.video, intr,
+                                  loop_start=cand, loop_end=cur_gid)
             self.closed_at.append(cur_gid)
             return True
         return False

@@ -162,3 +162,46 @@ def rectify_tracker(tracker, new_c2ws, mapper=None, intrinsic=None,
                 upd["disps_up"] = b.disps_up.at[:e - s].set(
                     jnp.asarray(video.disps_up_save[s:e]))
         tracker.video.bufs = b.replace(**upd)
+
+
+def retrain_gaussians(mapper, video, intrinsic, loop_start=0,
+                      loop_end=None):
+    """Post-rectification map refinement over the saved keyframes
+    (reference loop_rectify.py:463-548 `retrain_gaussian`): train the
+    re-anchored Gaussians against the saved images at the CORRECTED poses,
+    photometric-only (the reference zeroes the depth-loss weight — saved
+    depths are scale-drifted around a loop).
+
+    The reference variant only accumulates gradients (its optimizer step
+    is commented out); this rebuild applies real sparse-adam steps via the
+    jitted train loop, 2 iterations per keyframe in the span, in
+    kf_capacity-sized windows."""
+    ns = video.count_save
+    if loop_end is None:
+        loop_end = ns - 1
+    loop_end = min(loop_end, ns - 1)
+    if loop_end < loop_start:
+        return 0
+    ta = dict(mapper.cfg["training_args"])
+    weights = {**ta["loss_weights"], "depth_loss": 0.0}
+    kc = mapper.kf_capacity
+    n_done = 0
+    ids = list(range(int(loop_start), int(loop_end) + 1))
+    for s in range(0, len(ids), kc):
+        win = ids[s:s + kc]
+        depths = (1.0 / (video.disps_up_save[win] + 1e-4))[..., None]
+        depths[depths > float(mapper.cfg["middleware"]["max_depth"])] = 0.0
+        viz = {
+            "images": video.images_save[win],
+            "depths": depths,
+            "depths_cov": video.depths_cov_up_save[win][..., None],
+            "poses": np.linalg.inv(np.asarray(lie.se3_matrix(
+                jnp.asarray(video.poses_save[win], jnp.float32)))),
+            "viz_out_idx_to_f_idx": video.tstamp_save[win],
+            "intrinsic": intrinsic,
+            "global_kf_id": np.asarray(win, np.int64),
+        }
+        n_iters = max(2 * len(win), 4)
+        mapper.train_on_window(viz, iters=n_iters, weights=weights)
+        n_done += len(win)
+    return n_done

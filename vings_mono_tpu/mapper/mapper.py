@@ -335,6 +335,28 @@ class GaussianMapper:
                 "log_scale": lr["_scaling_lr"], "quat": lr["_rotation_lr"],
                 "logit_opacity": lr["_opacity_lr"]}
 
+    # ---- direct window training (loop-closure retrain) -----------------
+    def train_on_window(self, viz_out, iters, weights=None):
+        """Train on an explicit keyframe window without the add-frame /
+        densify bookkeeping — the loop-closure retrain path
+        (loop/rectify.retrain_gaussians; ref loop_rectify.py:463-548)."""
+        from .train import bin_stack, train_loop
+        intr4 = _intr4(viz_out["intrinsic"])
+        if self.H is None:
+            self.H = int(viz_out["intrinsic"]["H"])
+            self.W = int(viz_out["intrinsic"]["W"])
+        batch = self._pack_batch(viz_out)
+        binned = bin_stack(self.state, batch, intr4, self.H, self.W,
+                           **self.bin_kwargs)
+        ta = self.cfg["training_args"]
+        self.state, self.opt, _, _, metrics = train_loop(
+            self.state, self.opt, batch, binned, intr4, self._next_key(),
+            iters=int(iters), height=self.H, width=self.W,
+            weights={**ta["loss_weights"], **(weights or {})},
+            lrs=self._lrs(ta), render_kwargs=self.render_kwargs)
+        self._metrics_dev = metrics
+        self._binned = None     # window cache rows are for the live window
+
     # ---- rendering for vis / eval --------------------------------------
     def render_at(self, w2c, intr: dict, max_dist=None):
         """Render the map at w2c. max_dist (meters) culls Gaussians farther

@@ -60,10 +60,11 @@ def num_tiles(height, width, tile=TILE):
 
 @functools.partial(jax.jit, static_argnames=("height", "width", "p_cap",
                                              "chunk", "side", "tile",
-                                             "v_cap"))
+                                             "v_cap", "need_grad"))
 def bin_surfels(proj: ProjectedSurfels, *, height: int, width: int,
                 p_cap: int, chunk: int = 128, side: int = 5,
-                tile: int = TILE, v_cap: int = 0) -> BinnedScene:
+                tile: int = TILE, v_cap: int = 0,
+                need_grad: bool = True) -> BinnedScene:
     """Build the tile-grouped pair list. See module docstring.
 
     v_cap > 0 compacts to the nearest v_cap visible Gaussians before
@@ -222,13 +223,19 @@ def bin_surfels(proj: ProjectedSurfels, *, height: int, width: int,
     chunk_first = jnp.where(in_range, chunk_first, 0) + \
         2 * in_range.astype(jnp.int32)
 
-    # ---- backward scatter plan (sorted-segment reduction)
-    gkey = jnp.where(pair_valid, pair_idx, N)
-    gperm = jnp.argsort(gkey).astype(jnp.int32)
-    gids_sorted = gkey[gperm]
-    gbounds = jnp.searchsorted(gids_sorted,
-                               jnp.arange(N + 1, dtype=jnp.int32)
-                               ).astype(jnp.int32)
+    # ---- backward scatter plan (sorted-segment reduction); forward-only
+    # renders (densify decisions, vis, loop verification) skip this second
+    # argsort — it is only consumed by the _take_rows VJP
+    if need_grad:
+        gkey = jnp.where(pair_valid, pair_idx, N)
+        gperm = jnp.argsort(gkey).astype(jnp.int32)
+        gids_sorted = gkey[gperm]
+        gbounds = jnp.searchsorted(gids_sorted,
+                                   jnp.arange(N + 1, dtype=jnp.int32)
+                                   ).astype(jnp.int32)
+    else:
+        gperm = jnp.arange(p_cap, dtype=jnp.int32)
+        gbounds = jnp.zeros((N + 1,), jnp.int32)
 
     return BinnedScene(pair_idx=pair_idx, pair_valid=pair_valid,
                        chunk_tile=chunk_tile, chunk_first=chunk_first,

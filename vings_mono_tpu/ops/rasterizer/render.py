@@ -161,10 +161,15 @@ def render(xyz, log_scale, quat, logit_opacity, rgb, camera: Camera, *,
 
 def bin_for_camera(xyz, log_scale, quat, logit_opacity, rgb, camera: Camera,
                    *, alive=None, p_cap: int = 1 << 21, chunk: int = 128,
-                   side: int = 5, v_cap: int = 0) -> BinnedScene:
-    """Compute a cacheable binning for `camera` at the current parameters."""
+                   side: int = 5, v_cap: int = 0,
+                   need_grad: bool = True) -> BinnedScene:
+    """Compute a cacheable binning for `camera` at the current parameters.
+
+    need_grad=False skips the backward scatter plan (second argsort) for
+    forward-only consumers."""
     proj = project_surfels(xyz, log_scale, quat, logit_opacity, rgb, camera,
                            alive=alive)
     proj = jax.tree.map(jax.lax.stop_gradient, proj)
     return bin_surfels(proj, height=camera.height, width=camera.width,
-                       p_cap=p_cap, chunk=chunk, side=side, v_cap=v_cap)
+                       p_cap=p_cap, chunk=chunk, side=side, v_cap=v_cap,
+                       need_grad=need_grad)
