@@ -49,6 +49,10 @@ def refine_poses(state: GaussianState, batch: KeyframeBatch, binned_stack,
         xi, m, v = carry
         kf = it % jnp.maximum(batch.n_valid, 1)
         g = grad_fn(xi, kf)
+        # zero non-finite grads (reference GradientClip semantics) — a
+        # single NaN here would poison the pose, then every Gaussian
+        # attributed to it via apply_pose_bias_to_gaussians
+        g = jnp.where(jnp.isfinite(g), g, 0.0)
         # adam on the xi table (only row kf has nonzero grad)
         t = (it + 1).astype(jnp.float32)
         m = 0.9 * m + 0.1 * g

@@ -147,6 +147,10 @@ class GlobalBA:
         dev_disps = jnp.asarray(disps, jnp.float32)
         dev_intr = jnp.tile(jnp.asarray(intr8)[None], (T, 1))
 
+        # candidate band: |i-j| <= 64 keyframes bounds the distance-matrix
+        # work at O(T*128) (the reference computes all T^2 distances; loop
+        # edges farther apart than the band are expected to have been
+        # handled by the online loop-closure module before terminate)
         pairs = [(i, j) for i in range(T) for j in range(T)
                  if i != j and abs(i - j) <= 64]
         pair_cap = 1 << max(6, (len(pairs) - 1).bit_length()) \
@@ -208,7 +212,9 @@ class GlobalBA:
         if T < 3:
             return {"frames": T, "edges": 0, "skipped": True}
         h, w = disps_np.shape[1:3]
-        t_cap = 1 << (T - 1).bit_length()
+        # bucket to a multiple of 64 (pow2 rounding wastes up to 2x HBM on
+        # the (t_cap, h, w, 128) feature stacks at trajectory scale)
+        t_cap = (T + 63) // 64 * 64
 
         # ---- re-encode features for every frame --------------------------
         fmaps = np.zeros((t_cap, h, w, 128), np.float32)
@@ -261,7 +267,9 @@ class GlobalBA:
             "disps": jnp.asarray(np.concatenate(
                 [disps_np, np.ones((t_cap - T, h, w), np.float32)])),
             "intr": jnp.tile(jnp.asarray(intr8)[None], (t_cap, 1)),
-            "fmaps": jnp.asarray(fmaps),
+            # bf16: the corr pyramids are built in bf16 anyway, and the
+            # f32 stack costs 2x HBM at multi-thousand-frame scale
+            "fmaps": jnp.asarray(fmaps, jnp.bfloat16),
             "inps": jnp.asarray(inps0),
             "target": jnp.zeros((e_cap, 2, h, w), jnp.float32),
             "weight": jnp.zeros((e_cap, 2, h, w), jnp.float32),

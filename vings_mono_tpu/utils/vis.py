@@ -105,7 +105,7 @@ def draw_trajectory(img, c2ws, bev_w2c, intr4, color_by_time=True):
         bev_w2c)[:3, 3]
     n = len(pos)
     for k, p in enumerate(pc):
-        if p[2] <= 0.1:
+        if not np.all(np.isfinite(p)) or p[2] <= 0.1:
             continue
         u = int(fx * p[0] / p[2] + cx)
         v = int(fy * p[1] / p[2] + cy)
