@@ -35,8 +35,14 @@ class SyntheticDataset:
         return np.arange(self.n, dtype=np.float64)[:, None]
 
     def preload_imu(self):
-        imu = np.zeros((self.n * 10, 7))
-        imu[:, 0] = np.arange(self.n * 10) / 10.0
+        # gravity-consistent static IMU at 100 Hz ([t, gyro deg/s, acc]):
+        # zero rotation, accelerometer reading +g upward — enough for the
+        # inertial plumbing (preintegration, gap handling, VI-init attempt)
+        # to run end-to-end without excitation
+        m = self.n * 100
+        imu = np.zeros((m, 7))
+        imu[:, 0] = np.arange(m) / 100.0
+        imu[:, 6] = 9.81
         return imu
 
     def load_gt_dict(self):
