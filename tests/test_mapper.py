@@ -119,3 +119,45 @@ def test_pose_refinement_recovers_perturbation():
                                        - c2ws[0, :3, 3]))
     err_after = float(jnp.linalg.norm(new_c2ws[0, :3, 3] - c2ws[0, :3, 3]))
     assert err_after < err_before, (err_before, err_after)
+
+
+def test_pair_capacity_bucket_hysteresis():
+    """Host-side pair-capacity tuning: grow immediately on overflow,
+    shrink only after 3 consecutive votes, clamp to [min, max], and
+    invalidate the binning cache on any switch."""
+    import types
+    import jax.numpy as jnp
+    from vings_mono_tpu.mapper.mapper import GaussianMapper
+
+    cfg = load_config(overrides={
+        "mapper": {"capacity": 4096, "pair_capacity": 1 << 16, "chunk": 64,
+                   "side": 3, "kf_capacity": 4, "points_per_frame": 256,
+                   "points_first_frame": 256}})
+    m = GaussianMapper(cfg)
+    assert m.bin_kwargs["p_cap"] == 1 << 16
+    assert m._p_cap_min == 1 << 14
+
+    def binned(n, ovf=False):
+        return types.SimpleNamespace(
+            n_pairs=jnp.asarray([n], jnp.int32),
+            overflow=jnp.asarray([ovf]))
+
+    # small counts: needs 3 consecutive votes to shrink
+    m._binned = "cache"
+    m._tune_pair_capacity(binned(1000))
+    m._tune_pair_capacity(binned(1000))
+    assert m.bin_kwargs["p_cap"] == 1 << 16 and m._binned == "cache"
+    m._tune_pair_capacity(binned(1000))
+    assert m.bin_kwargs["p_cap"] == 1 << 14      # floor bucket
+    assert m._binned is None                      # cache invalidated
+
+    # overflow grows immediately to max
+    m._binned = "cache"
+    m._tune_pair_capacity(binned(1 << 14, ovf=True))
+    assert m.bin_kwargs["p_cap"] == 1 << 16
+    assert m._binned is None
+
+    # a mid-size count settles on the covering bucket (with 30% headroom)
+    for _ in range(3):
+        m._tune_pair_capacity(binned(20000))
+    assert m.bin_kwargs["p_cap"] == 1 << 15, m.bin_kwargs["p_cap"]

@@ -308,8 +308,15 @@ class GaussianMapper:
             sky_images = viz_out.get("sky_images")
             sky_images = batch.images if sky_images is None else \
                 jnp.moveaxis(jnp.asarray(sky_images, jnp.float32), -1, 1)
+            from .sky import sky_render_params
+            sp = sky_render_params(self.sky.state)
+            sky_binned = bin_stack(
+                self.sky.state.replace(xyz=sp[0], log_scale=sp[1]),
+                batch, intr4, self.H, self.W, **self.bin_kwargs) \
+                if self.cfg["mapper"].get("impl", "tile") == "tile" else None
             sky_kwargs = dict(use_sky=True, sky_state=self.sky.state,
-                              sky_opt=self.sky.opt, sky_images=sky_images)
+                              sky_opt=self.sky.opt, sky_images=sky_images,
+                              sky_binned=sky_binned)
         self.state, self.opt, sky_state, sky_opt, metrics = train_loop(
             self.state, self.opt, batch, binned, intr4, self._next_key(),
             iters=iters, height=self.H, width=self.W,

@@ -93,6 +93,8 @@ class SkyModel:
 
     def add_frame(self, w2c, intr4, gt_rgb, key, height, width,
                   n_points=1000):
+        # the per-frame sample budget can't exceed the sphere's capacity
+        n_points = min(int(n_points), self.state.capacity)
         self.state, self.opt, n = sky_add_frame(
             self.state, self.opt, w2c, intr4, gt_rgb, key,
             height=height, width=width, n_points=n_points)

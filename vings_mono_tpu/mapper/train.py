@@ -92,7 +92,8 @@ def train_loop(state: GaussianState, opt: SparseAdamState,
                batch: KeyframeBatch, binned_stack, intr4, key, *,
                iters: int, height: int, width: int, weights=None,
                lrs=None, render_kwargs=(), use_sky: bool = False,
-               sky_state=None, sky_opt=None, sky_images=None):
+               sky_state=None, sky_opt=None, sky_images=None,
+               sky_binned=None):
     rkw = dict(render_kwargs)
 
     def loss_fn(params, sky_params, carrier, camera, kf):
@@ -109,11 +110,16 @@ def train_loop(state: GaussianState, opt: SparseAdamState,
             nrm = jnp.sqrt(jnp.sum(sky_params["xyz"] ** 2, axis=-1,
                                    keepdims=True) + 1e-12)
             sxyz = sky_params["xyz"] / nrm * SPHERE_RADIUS
+            # sky binning is cached per keyframe like the main binning —
+            # re-binning the sphere inside every iteration was a large
+            # per-iter cost for sky-enabled configs
             srets = render(sxyz,
                            sky_params["log_scale"] + jnp.log(SPHERE_RADIUS),
                            sky_params["quat"],
                            sky_params["logit_opacity"], sky_params["rgb"],
-                           camera, alive=sky_state.alive, **rkw)
+                           camera, alive=sky_state.alive,
+                           binned=None if sky_binned is None else
+                           _select_kf(sky_binned, kf), **rkw)
             rets = dict(rets)
             rets["rgb"] = rets["rgb"] + (1.0 - rets["accum"]) * srets["rgb"]
             sky_rgb_gt = sky_images[kf]
