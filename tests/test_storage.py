@@ -78,5 +78,7 @@ def test_storage_roundtrip():
     st = mapper.state
     alive = np.asarray(st.alive)
     assert np.all(np.asarray(st.globalkf_id)[alive] == 1)
+    # page-in revives rows no cached binning contains — the cache must go
+    assert mapper._binned is None
     assert mgr.n_host == 100
     assert np.asarray(mgr.host["stable"]).sum() == 50

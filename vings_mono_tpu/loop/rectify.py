@@ -107,6 +107,10 @@ def rectify_gaussians(mapper, old_c2ws, new_c2ws, score_prune=0.1):
     kill = s.alive & (s.globalkf_max_scores < score_prune)
     from ..mapper.state import kill_rows
     mapper.state = kill_rows(mapper.state, kill)
+    # the meter-scale teleport invalidates every cached tile assignment —
+    # BinnedScene stores them by Gaussian index (binning.py), so stale rows
+    # would rasterize moved Gaussians in their OLD tiles
+    mapper._binned = None
     return int(jnp.sum(kill))
 
 

@@ -130,3 +130,6 @@ class StorageManager:
             self.host[f] = self.host[f][kept]
         self.n_host = len(self.host["xyz"])
         self.place[near_kf] = 1
+        # paged-in rows exist in no cached binning row — they would
+        # silently not render until the round-robin cache cycles past them
+        mapper._binned = None
