@@ -150,9 +150,16 @@ def train_loop(state: GaussianState, opt: SparseAdamState,
 
         # score bookkeeping (add_records, gaussian_model.py:163-169 +
         # globalkf attribution, gaussian_base.py:387-392)
-        local = st.local_scores.at[:, 0].add(cur0)
-        local = local.at[:, 1].max(cur1)
-        glob = jnp.clip(st.global_scores.at[:, 0].add(cur0), 0.0, 1e4)
+        # whole-array construction instead of per-column .at updates: a
+        # column dynamic-update-slice on the (N, 2) tiled layout lowers to a
+        # serialized read-modify-write (~0.6 ms each at 262k rows); the
+        # stacked form is one fused elementwise pass
+        local = jnp.stack([st.local_scores[:, 0] + cur0,
+                           jnp.maximum(st.local_scores[:, 1], cur1)],
+                          axis=-1)
+        glob = jnp.clip(jnp.stack([st.global_scores[:, 0] + cur0,
+                                   st.global_scores[:, 1]], axis=-1),
+                        0.0, 1e4)
         replace = st.globalkf_max_scores < cur0
         gmax = jnp.where(replace, cur0, st.globalkf_max_scores)
         gid = jnp.where(replace, batch.global_kf_id[kf], st.globalkf_id)

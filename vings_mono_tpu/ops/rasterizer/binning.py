@@ -40,18 +40,20 @@ MAX_TILES_AXIS = 4096   # key budget: tile ids need < 12 bits
 
 
 class BinnedScene(NamedTuple):
-    pair_idx: jnp.ndarray    # (P_CAP,) int32 Gaussian index per pair slot
+    # COMPACT addressing: pair slots index into the depth-compacted table of
+    # the v_cap nearest visible Gaussians (`sel` maps compact row -> original
+    # id). Gathering pairs from a (V_CAP, 24) table instead of the full
+    # (N, 24) one keeps the table small enough for XLA to hold it in VMEM
+    # inside the training loop — random HBM row-gathers read a whole (8,128)
+    # tile (4 KB) per 96-byte row and were the mapper's per-iteration floor.
+    pair_idx: jnp.ndarray    # (P_CAP,) int32 COMPACT row index per pair slot
     pair_valid: jnp.ndarray  # (P_CAP,) bool
+    sel: jnp.ndarray         # (V_CAP,) int32 compact row -> original id
     chunk_tile: jnp.ndarray  # (C_CAP,) int32 flat tile id per kernel chunk
     chunk_first: jnp.ndarray  # (C_CAP,) int32, 1 = first chunk of its tile
     n_chunks: jnp.ndarray    # () int32 — real chunk count (rest are no-ops)
     n_pairs: jnp.ndarray     # () int32 — real pair count before padding
     overflow: jnp.ndarray    # () bool — pair capacity exceeded (tail dropped)
-    # backward scatter plan: TPU scatter-adds run at element rate, so the
-    # pair->Gaussian gradient reduction is done as row-gather by `gperm`
-    # (pairs sorted by Gaussian id) + cumsum + segment-boundary differences
-    gperm: jnp.ndarray       # (P_CAP,) int32 permutation sorting by gaussian
-    gbounds: jnp.ndarray     # (N+1,) int32 segment starts in sorted order
 
 
 def num_tiles(height, width, tile=TILE):
@@ -165,7 +167,7 @@ def bin_surfels(proj: ProjectedSurfels, *, height: int, width: int,
                     INVALID).reshape(-1)
     perm = jnp.argsort(key)                       # (V*K,)
     skey = key[perm]
-    s_gauss = sel[(perm // K).astype(jnp.int32)]  # back to original ids
+    s_rank = (perm // K).astype(jnp.int32)        # compact (depth-rank) row
     s_valid = skey != INVALID
     s_tile = (skey >> RANK_BITS).astype(jnp.int32)
 
@@ -179,7 +181,7 @@ def bin_surfels(proj: ProjectedSurfels, *, height: int, width: int,
         pad = jnp.full((p_cap - x.shape[0],), fill, x.dtype)
         return jnp.concatenate([x, pad])
 
-    s_gauss = fit(s_gauss, 0)
+    s_rank = fit(s_rank, 0)
     s_valid = fit(s_valid, False)
     s_tile = fit(s_tile, T)  # out-of-range tile id -> dropped by segment_sum
 
@@ -204,7 +206,7 @@ def bin_surfels(proj: ProjectedSurfels, *, height: int, width: int,
 
     pair_idx = jnp.zeros((p_cap,), jnp.int32)
     pair_valid = jnp.zeros((p_cap,), bool)
-    pair_idx = pair_idx.at[dest].set(s_gauss, mode="drop")
+    pair_idx = pair_idx.at[dest].set(s_rank, mode="drop")
     pair_valid = pair_valid.at[dest].set(s_valid, mode="drop")
 
     # ---- chunk metadata via searchsorted on padded chunk boundaries
@@ -223,22 +225,13 @@ def bin_surfels(proj: ProjectedSurfels, *, height: int, width: int,
     chunk_first = jnp.where(in_range, chunk_first, 0) + \
         2 * in_range.astype(jnp.int32)
 
-    # ---- backward scatter plan (sorted-segment reduction); forward-only
-    # renders (densify decisions, vis, loop verification) skip this second
-    # argsort — it is only consumed by the _take_rows VJP
-    if need_grad:
-        gkey = jnp.where(pair_valid, pair_idx, N)
-        gperm = jnp.argsort(gkey).astype(jnp.int32)
-        gids_sorted = gkey[gperm]
-        gbounds = jnp.searchsorted(gids_sorted,
-                                   jnp.arange(N + 1, dtype=jnp.int32)
-                                   ).astype(jnp.int32)
-    else:
-        gperm = jnp.arange(p_cap, dtype=jnp.int32)
-        gbounds = jnp.zeros((N + 1,), jnp.int32)
-
-    return BinnedScene(pair_idx=pair_idx, pair_valid=pair_valid,
+    # NB: no second argsort — the _take_rows VJP reduces pair grads with a
+    # compact-domain segment_sum (equal device time to the sorted-segment
+    # chain it replaced, and it frees this binning of the gperm sort that
+    # used to cost ~half the per-camera binning time)
+    del need_grad
+    return BinnedScene(pair_idx=pair_idx, pair_valid=pair_valid, sel=sel,
                        chunk_tile=chunk_tile, chunk_first=chunk_first,
                        n_chunks=total_chunks.astype(jnp.int32),
                        n_pairs=jnp.minimum(n_total, p_cap),
-                       overflow=overflow, gperm=gperm, gbounds=gbounds)
+                       overflow=overflow)

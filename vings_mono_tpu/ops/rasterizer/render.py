@@ -43,30 +43,33 @@ def _unpack_tiles(out_tiles, height, width):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=())
-def _take_rows(packed, pair_idx, valid_f, gperm, gbounds):
-    """Row gather pairs <- gaussians whose VJP is a *sorted-segment*
-    reduction (cumsum + boundary diff) instead of an XLA scatter-add — TPU
-    scatters run at element rate and dominated the mapper backward."""
-    return packed[pair_idx] * valid_f[:, None]
+def _take_rows(packed, sel, pair_idx, valid_f):
+    """Row gather pairs <- gaussians, in TWO hops through the depth-compacted
+    (V_CAP, 24) table: `compact = packed[sel]` then `compact[pair_idx]`.
+    A random row gather from a (N, 24) f32 table reads one (8,128) tile
+    (4 KB) per 96-byte row, so the one-hop gather ran at ~9 GB/s effective;
+    the compact table is small enough for XLA to keep in VMEM across the
+    training loop (the barrier stops XLA from re-fusing the two hops into
+    one big-table gather). The VJP reduces pair grads with a compact-domain
+    segment_sum, then expands back through `sel`."""
+    compact = jax.lax.optimization_barrier(packed[sel])
+    return compact[pair_idx] * valid_f[:, None]
 
 
-def _take_rows_fwd(packed, pair_idx, valid_f, gperm, gbounds):
-    out = _take_rows(packed, pair_idx, valid_f, gperm, gbounds)
-    return out, (packed.shape[0], pair_idx, valid_f, gperm, gbounds)
+def _take_rows_fwd(packed, sel, pair_idx, valid_f):
+    out = _take_rows(packed, sel, pair_idx, valid_f)
+    return out, (packed.shape[0], sel, pair_idx, valid_f)
 
 
 def _take_rows_bwd(res, g):
-    n, pair_idx, valid_f, gperm, gbounds = res
+    n, sel, pair_idx, valid_f = res
     gz = g * valid_f[:, None]
-    gs = gz[gperm]                                   # row gather
-    csum = jnp.concatenate([jnp.zeros((1, g.shape[1]), g.dtype),
-                            jnp.cumsum(gs, axis=0)], axis=0)
-    # ONE boundary gather then adjacent diff (csum[gbounds[1:]] -
-    # csum[gbounds[:-1]] would gather the same rows twice; row gathers are
-    # latency-bound and dominate the mapper backward)
-    cb = csum[gbounds]                               # (N+1, C)
-    seg = cb[1:] - cb[:-1]                           # (N, C)
-    return seg, None, None, None, None
+    seg = jax.ops.segment_sum(gz, pair_idx,
+                              num_segments=sel.shape[0])     # (V, C)
+    # expand compact-row grads to the full table; `sel` rows are unique
+    # (a permutation prefix), so a plain set-scatter is exact
+    full = jnp.zeros((n, g.shape[1]), g.dtype).at[sel].set(seg)
+    return full, None, None, None
 
 
 _take_rows.defvjp(_take_rows_fwd, _take_rows_bwd)
@@ -85,8 +88,7 @@ def rasterize_binned(packed, score_carrier, binned: BinnedScene,
         [packed[:, :21], score_carrier,
          jnp.zeros((N, 1), packed.dtype)], axis=1)       # (N, PK_PAD)
     valid_f = binned.pair_valid.astype(packed.dtype)
-    pair_data = _take_rows(ext, binned.pair_idx, valid_f, binned.gperm,
-                           binned.gbounds).T
+    pair_data = _take_rows(ext, binned.sel, binned.pair_idx, valid_f).T
     nty, ntx = num_tiles(camera.height, camera.width)
     meta = jnp.asarray([camera.fx, camera.fy, camera.cx, camera.cy,
                         jnp.float32(ntx), 0.0, 0.0, 0.0], jnp.float32)
