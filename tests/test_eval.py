@@ -38,6 +38,7 @@ def _load_windows():
     return wins
 
 
+@pytest.mark.slow
 def test_golden_replay_psnr():
     """run_mapping-style replay on the committed fixture clears the golden
     PSNR bar (the reference's de-facto integration harness, SURVEY §3.5)."""

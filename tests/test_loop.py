@@ -105,6 +105,7 @@ def test_transform_gaussians_rigid():
     np.testing.assert_allclose(n_new, n_old @ T[:3, :3].T, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_rectify_tracker_depth_writeback():
     """After rectification the saved disparities are rewritten from depth
     rendered off the corrected map, and 8x8-pooled into disps_save
@@ -253,6 +254,7 @@ def test_candidate_policy():
     assert cands[0] < 10
 
 
+@pytest.mark.slow
 def test_retrain_gaussians_after_loop():
     """Optional loop-closure retrain (ref loop_rectify.py:463-548): trains
     the re-anchored map photometrically against saved keyframes at the

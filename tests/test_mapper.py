@@ -71,6 +71,7 @@ def test_mapper_ckpt_roundtrip(tmp_path, trained):
     assert m2.time_idx == mapper.time_idx
 
 
+@pytest.mark.slow
 def test_mapper_with_sky():
     """use_sky path: separate sky sphere trains jointly and composites
     behind the map (sky_utils.py semantics)."""
@@ -89,6 +90,7 @@ def test_mapper_with_sky():
     assert np.isfinite(mapper.last_metrics["total"])
 
 
+@pytest.mark.slow
 def test_pose_refinement_recovers_perturbation():
     """refine_poses pulls a perturbed keyframe pose back toward the pose
     that explains the (frozen) map (train_once_pose semantics)."""
