@@ -86,7 +86,19 @@ def bin_surfels(proj: ProjectedSurfels, *, height: int, width: int,
     big = jnp.float32(jnp.inf)
     order = jnp.argsort(jnp.where(proj.visible, proj.depth, big))
     sel = order[:v_cap].astype(jnp.int32)          # row i == depth rank i
-    visible = proj.visible[sel]
+
+    # ---- ONE consolidated row gather for every per-Gaussian field this
+    # binning needs. Row gathers are latency-bound (~10 ns/row regardless of
+    # width), so seven separate `x[sel]` gathers cost 7x one (V, 8) gather.
+    from .projection import PK_OPAC
+    aux = jnp.concatenate([
+        proj.center2d,                               # 0:2
+        proj.cov2d,                                  # 2:5
+        proj.packed[:, PK_OPAC:PK_OPAC + 1],         # 5
+        proj.visible[:, None].astype(jnp.float32),   # 6
+        jnp.zeros((N, 1), jnp.float32),              # pad to 8 lanes
+    ], axis=1)[sel]                                  # (V, 8)
+    visible = aux[:, 6] > 0.5
 
     # ---- candidate tiles per Gaussian (bbox clamped to side x side).
     # Anisotropic per-axis extents from the linearized screen covariance +
@@ -95,12 +107,11 @@ def bin_surfels(proj: ProjectedSurfels, *, height: int, width: int,
     # circumscribed-circle radius; the exact ellipse/rect test below then
     # drops the bbox tiles the ellipse doesn't touch (corner tiles, and
     # most of the row/column for elongated surfels).
-    from .projection import PK_OPAC
-    px, py = proj.center2d[sel, 0], proj.center2d[sel, 1]
-    s00 = jnp.clip(proj.cov2d[sel, 0], 1e-8)
-    s01 = proj.cov2d[sel, 1]
-    s11 = jnp.clip(proj.cov2d[sel, 2], 1e-8)
-    opac = proj.packed[sel, PK_OPAC]
+    px, py = aux[:, 0], aux[:, 1]
+    s00 = jnp.clip(aux[:, 2], 1e-8)
+    s01 = aux[:, 3]
+    s11 = jnp.clip(aux[:, 4], 1e-8)
+    opac = aux[:, 5]
     q_cut = jnp.clip(2.0 * jnp.log(jnp.clip(opac, 1e-6) * 255.0), 0.05)
     sig = jnp.sqrt(q_cut)
     # the coverage is min(rho3d, rho2d) with rho2d = 2*d^2: the low-pass
@@ -160,14 +171,16 @@ def bin_surfels(proj: ProjectedSurfels, *, height: int, width: int,
     cand_valid &= q_min <= q_cut[:, None]
     tile_id = (ty * ntx + tx).astype(jnp.uint32)
 
-    # ---- single sort groups by (tile, depth): row index IS the depth rank
+    # ---- single sort groups by (tile, depth): row index IS the depth rank.
+    # lax.sort carries (key, candidate-id) together — the argsort+`key[perm]`
+    # re-gather it replaces was a 589k-scalar latency-bound gather (~4 ms).
     rank = jax.lax.broadcasted_iota(jnp.uint32, (v_cap, K), 0)
     INVALID = jnp.uint32(0xFFFFFFFF)
     key = jnp.where(cand_valid, (tile_id << RANK_BITS) | rank,
                     INVALID).reshape(-1)
-    perm = jnp.argsort(key)                       # (V*K,)
-    skey = key[perm]
-    s_rank = (perm // K).astype(jnp.int32)        # compact (depth-rank) row
+    cand_id = jnp.arange(v_cap * K, dtype=jnp.int32)
+    skey, perm = jax.lax.sort((key, cand_id), num_keys=1, is_stable=False)
+    s_rank = perm // K                            # compact (depth-rank) row
     s_valid = skey != INVALID
     s_tile = (skey >> RANK_BITS).astype(jnp.int32)
 
@@ -183,31 +196,43 @@ def bin_surfels(proj: ProjectedSurfels, *, height: int, width: int,
 
     s_rank = fit(s_rank, 0)
     s_valid = fit(s_valid, False)
-    s_tile = fit(s_tile, T)  # out-of-range tile id -> dropped by segment_sum
+    # invalid candidates carry tile id 0xFFF (> T), keeping the array sorted
+    s_tile = fit(s_tile, (1 << (32 - RANK_BITS)) - 1)
 
-    # ---- per-tile counts and padded offsets
-    ones = s_valid.astype(jnp.int32)
-    counts = jax.ops.segment_sum(ones, s_tile, num_segments=T)  # (T,)
+    # ---- per-tile counts via searchsorted on the SORTED tile ids (the
+    # 589k-add segment_sum this replaces was ~2.3 ms of scatter latency)
+    bounds = jnp.searchsorted(s_tile, jnp.arange(T + 1, dtype=jnp.int32),
+                              side="left").astype(jnp.int32)
+    counts = bounds[1:] - bounds[:-1]                          # (T,)
     padded = ((counts + chunk - 1) // chunk) * chunk
     # every tile gets >= 1 chunk so its output block is initialized by the
     # kernel's first-chunk write (empty tiles render all-zero)
     padded = jnp.maximum(padded, chunk)
     pad_off = jnp.concatenate([jnp.zeros(1, jnp.int32),
                                jnp.cumsum(padded)]).astype(jnp.int32)  # (T+1,)
-    raw_off = jnp.concatenate([jnp.zeros(1, jnp.int32),
-                               jnp.cumsum(counts)]).astype(jnp.int32)
+    raw_off = bounds
 
-    # destination slot: padded tile start + rank within tile
+    # destination slot: padded tile start + rank within tile, i.e.
+    # dest = pos + slack[s_tile] with slack = pad_off - raw_off (cumulative
+    # padding, nondecreasing in tile). Instead of two 262k gathers from the
+    # offset tables (~4 ms of latency), scatter the T slack values at each
+    # tile's run start and propagate with a running max — empty tiles share
+    # a boundary position and the max picks the right (latest) slack.
+    slack_t = pad_off[:T] - raw_off[:T]                        # (T,) >= 0
+    slack = jnp.zeros((p_cap,), jnp.int32).at[raw_off[:T]].max(
+        slack_t, mode="drop")
+    slack = jax.lax.associative_scan(jnp.maximum, slack)
     pos = jnp.arange(p_cap, dtype=jnp.int32)
-    pos_in_tile = pos - raw_off[s_tile]
-    dest = jnp.where(s_valid, pad_off[s_tile] + pos_in_tile, p_cap)
+    dest = jnp.where(s_valid, pos + slack, p_cap)
     # clamp: padded layout may not fit in p_cap when overflowing
     dest = jnp.where(dest < p_cap, dest, p_cap)
 
-    pair_idx = jnp.zeros((p_cap,), jnp.int32)
-    pair_valid = jnp.zeros((p_cap,), bool)
-    pair_idx = pair_idx.at[dest].set(s_rank, mode="drop")
-    pair_valid = pair_valid.at[dest].set(s_valid, mode="drop")
+    # ONE packed scatter for (compact row, valid): bit 22 carries validity
+    packed_slot = jnp.where(s_valid, s_rank + (1 << 22), 0)
+    slots = jnp.zeros((p_cap,), jnp.int32).at[dest].set(packed_slot,
+                                                        mode="drop")
+    pair_idx = slots & ((1 << 22) - 1)
+    pair_valid = slots >= (1 << 22)
 
     # ---- chunk metadata via searchsorted on padded chunk boundaries
     chunk_bounds = pad_off // chunk               # (T+1,) monotone
