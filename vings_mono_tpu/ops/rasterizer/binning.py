@@ -227,12 +227,15 @@ def bin_surfels(proj: ProjectedSurfels, *, height: int, width: int,
     # clamp: padded layout may not fit in p_cap when overflowing
     dest = jnp.where(dest < p_cap, dest, p_cap)
 
-    # ONE packed scatter for (compact row, valid): bit 22 carries validity
+    # ONE packed scatter for (compact row, valid): bit 22 carries validity.
+    # Invalid slots resolve to compact row v_cap — the render-side gather
+    # table carries one extra all-zeros row there, so padding pairs read a
+    # dead payload with NO per-pair validity multiply (render.py:46-75).
     packed_slot = jnp.where(s_valid, s_rank + (1 << 22), 0)
     slots = jnp.zeros((p_cap,), jnp.int32).at[dest].set(packed_slot,
                                                         mode="drop")
-    pair_idx = slots & ((1 << 22) - 1)
     pair_valid = slots >= (1 << 22)
+    pair_idx = jnp.where(pair_valid, slots & ((1 << 22) - 1), v_cap)
 
     # ---- chunk metadata via searchsorted on padded chunk boundaries
     chunk_bounds = pad_off // chunk               # (T+1,) monotone

@@ -43,33 +43,46 @@ def _unpack_tiles(out_tiles, height, width):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=())
-def _take_rows(packed, sel, pair_idx, valid_f):
+def _take_rows(packed, score_carrier, sel, pair_idx):
     """Row gather pairs <- gaussians, in TWO hops through the depth-compacted
-    (V_CAP, 24) table: `compact = packed[sel]` then `compact[pair_idx]`.
+    (V_CAP + 1, 24) table: `compact = packed[sel]` then `compact[pair_idx]`.
     A random row gather from a (N, 24) f32 table reads one (8,128) tile
     (4 KB) per 96-byte row, so the one-hop gather ran at ~9 GB/s effective;
     the compact table is small enough for XLA to keep in VMEM across the
     training loop (the barrier stops XLA from re-fusing the two hops into
-    one big-table gather). The VJP reduces pair grads with a compact-domain
-    segment_sum, then expands back through `sel`."""
-    compact = jax.lax.optimization_barrier(packed[sel])
-    return compact[pair_idx] * valid_f[:, None]
+    one big-table gather). Invalid pair slots index the appended all-zeros
+    row V_CAP, so there is no per-pair validity multiply in either
+    direction (two (P,24) materializations saved per iteration). The VJP
+    reduces pair grads with a compact-domain segment_sum and expands back
+    through `sel` (unique rows — a permutation prefix — so the set-scatter
+    is exact).
+
+    score_carrier (N, 2) is all-zeros by contract (see rasterize_pairs):
+    it contributes nothing forward, but its cotangent returns the per-
+    Gaussian (importance, error) scores from the kernel's carrier columns
+    without materializing a separate (N, 24) extended payload."""
+    del score_carrier
+    compact = jax.lax.optimization_barrier(
+        jnp.concatenate([packed[sel],
+                         jnp.zeros((1, packed.shape[1]), packed.dtype)]))
+    return compact[pair_idx]
 
 
-def _take_rows_fwd(packed, sel, pair_idx, valid_f):
-    out = _take_rows(packed, sel, pair_idx, valid_f)
-    return out, (packed.shape[0], sel, pair_idx, valid_f)
+def _take_rows_fwd(packed, score_carrier, sel, pair_idx):
+    out = _take_rows(packed, score_carrier, sel, pair_idx)
+    return out, (packed.shape[0], sel, pair_idx)
 
 
 def _take_rows_bwd(res, g):
-    n, sel, pair_idx, valid_f = res
-    gz = g * valid_f[:, None]
-    seg = jax.ops.segment_sum(gz, pair_idx,
-                              num_segments=sel.shape[0])     # (V, C)
-    # expand compact-row grads to the full table; `sel` rows are unique
-    # (a permutation prefix), so a plain set-scatter is exact
+    n, sel, pair_idx = res
+    seg = jax.ops.segment_sum(g, pair_idx,
+                              num_segments=sel.shape[0] + 1)[:-1]  # (V, C)
     full = jnp.zeros((n, g.shape[1]), g.dtype).at[sel].set(seg)
-    return full, None, None, None
+    # the carrier's cotangent is the score columns; projection's VJP never
+    # reads packed cols 21:23, so `full` can be returned for both without
+    # zeroing them
+    from .tile_kernel import GR_SCORE_IMP, GR_SCORE_ERR
+    return full, full[:, GR_SCORE_IMP:GR_SCORE_ERR + 1], None, None
 
 
 _take_rows.defvjp(_take_rows_fwd, _take_rows_bwd)
@@ -79,16 +92,12 @@ def rasterize_binned(packed, score_carrier, binned: BinnedScene,
                      camera: Camera, interpret=False):
     """Render pre-binned surfels. packed (N, PK_PAD) differentiable.
 
-    The (N, 2) score carrier is spliced into the payload's pad columns so
-    pairs are gathered (and their grads segment-reduced) in ONE (N, 24)
-    pass — profiling showed the separate score gather costing as much as
-    the payload gather."""
-    N = packed.shape[0]
-    ext = jnp.concatenate(
-        [packed[:, :21], score_carrier,
-         jnp.zeros((N, 1), packed.dtype)], axis=1)       # (N, PK_PAD)
-    valid_f = binned.pair_valid.astype(packed.dtype)
-    pair_data = _take_rows(ext, binned.sel, binned.pair_idx, valid_f).T
+    The (N, 2) score carrier rides the payload's pad columns (which are
+    zero, like the carrier) so pairs are gathered (and their grads
+    segment-reduced) in ONE (N, 24) pass — profiling showed the separate
+    score gather costing as much as the payload gather."""
+    pair_data = _take_rows(packed, score_carrier, binned.sel,
+                           binned.pair_idx).T
     nty, ntx = num_tiles(camera.height, camera.width)
     meta = jnp.asarray([camera.fx, camera.fy, camera.cx, camera.cy,
                         jnp.float32(ntx), 0.0, 0.0, 0.0], jnp.float32)
