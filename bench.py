@@ -111,16 +111,21 @@ def main():
     th = threading.Thread(target=map_worker)
     th.start()
     t0 = time.perf_counter()
+    n_kf = 0
     for k in range(n_warm, n_warm + n_meas):
         tracker.track(frames[k])
         viz = judge_and_package(tracker, cfg)
         if viz is not None:
             q.put(viz)
+            n_kf += 1
     q.put(None)
     th.join()
     jax.block_until_ready(tracker.video.bufs.poses)
     jax.block_until_ready(mapper.state.xyz)
     dt = time.perf_counter() - t0
+
+    from vings_mono_tpu.utils.mfu import bench_mfu
+    mfu = bench_mfu(tracker, mapper, n_meas, n_kf, dt)
 
     fps = n_meas / dt
     print(json.dumps({
@@ -128,6 +133,8 @@ def main():
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / 20.0, 3),
+        "mfu": round(mfu["mfu"], 5),
+        "achieved_tflops": round(mfu["achieved_flops_per_s"] / 1e12, 4),
     }))
 
 

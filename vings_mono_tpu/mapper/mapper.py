@@ -317,11 +317,19 @@ class GaussianMapper:
             sky_kwargs = dict(use_sky=True, sky_state=self.sky.state,
                               sky_opt=self.sky.opt, sky_images=sky_images,
                               sky_binned=sky_binned)
+        targs = (self.state, self.opt, batch, binned, intr4,
+                 self._next_key())
+        tkw = dict(iters=iters, height=self.H, width=self.W,
+                   weights=ta["loss_weights"], lrs=lrs,
+                   render_kwargs=self.render_kwargs, **sky_kwargs)
+        # abstract signature for MFU accounting (utils/mfu.py): shapes only,
+        # so the program can be re-lowered for XLA cost analysis without
+        # holding (donated) buffers alive
+        self._mfu_sig = (jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype)
+            if hasattr(x, "shape") else x, targs), tkw, iters)
         self.state, self.opt, sky_state, sky_opt, metrics = train_loop(
-            self.state, self.opt, batch, binned, intr4, self._next_key(),
-            iters=iters, height=self.H, width=self.W,
-            weights=ta["loss_weights"], lrs=lrs,
-            render_kwargs=self.render_kwargs, **sky_kwargs)
+            *targs, **tkw)
         if self.use_sky:
             self.sky.state, self.sky.opt = sky_state, sky_opt
         self._metrics_dev = metrics

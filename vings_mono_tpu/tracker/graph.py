@@ -519,6 +519,10 @@ class CovisibleGraph:
 
         compute_cov = getattr(self, "_next_update_cov", False)
         self._next_update_cov = False
+        # abstract signature for MFU accounting (utils/mfu.py)
+        self._mfu_sig = (jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype)
+            if hasattr(x, "shape") else x, args), dict(kw, do_ba=True))
         inertial = getattr(self, "inertial", None)
         if inertial is not None and self.video.imu_enabled:
             # VIO: GRU on TPU, pose fusion on the host factor graph

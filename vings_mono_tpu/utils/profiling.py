@@ -44,6 +44,47 @@ def trace(dirname):
         jax.profiler.stop_trace()
 
 
+TPU_V5E_PEAK_FLOPS = 197e12  # bf16 peak per chip; the honest denominator
+# even for f32-heavy programs (MXU runs f32 through bf16 passes)
+
+
+def device_events(trace_dir):
+    """Parse a jax.profiler trace dir -> {event_name: (total_ms, count)}
+    summed over TPU device tracks. Wall-clock timeit through the axon
+    tunnel is dispatch-latency-dominated; traces are the only trustworthy
+    device timing on this setup."""
+    import glob
+    import gzip
+    import json
+    files = glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True)
+    if not files:
+        return {}
+    with gzip.open(files[0], "rt") as f:
+        trace = json.load(f)
+    events = trace["traceEvents"]
+    pid_names = {e["pid"]: e["args"].get("name", "") for e in events
+                 if e.get("ph") == "M" and e.get("name") == "process_name"
+                 and "args" in e}
+    dev = {p for p, n in pid_names.items()
+           if "TPU" in n or "/device" in n.lower()}
+    agg = {}
+    for e in events:
+        if e.get("ph") != "X" or e.get("pid") not in dev:
+            continue
+        ms, n = agg.get(e["name"], (0.0, 0))
+        agg[e["name"]] = (ms + e.get("dur", 0) / 1e3, n + 1)
+    return agg
+
+
+def compiled_flops(jitfn, *args, **kwargs):
+    """FLOP count of the compiled program via XLA cost analysis (0 when the
+    backend doesn't report)."""
+    ca = jitfn.lower(*args, **kwargs).compile().cost_analysis()
+    if isinstance(ca, (list, tuple)):
+        ca = ca[0] if ca else {}
+    return float((ca or {}).get("flops", 0.0))
+
+
 def enable_compile_cache(path=None):
     """Persistent XLA compile cache for bench/driver runs (tests enable it
     in conftest; bench scripts call this). Saves the multi-minute tracker +
