@@ -25,14 +25,23 @@ def eval_trajectory(run_dir, dataset):
 
 
 def eval_psnr(mapper, tracker, n_eval=10):
-    """Render PSNR over evenly spaced saved keyframes."""
+    """Render PSNR over evenly spaced keyframes (save buffer; falls back
+    to the live window when nothing has spilled yet — short runs)."""
     import jax.numpy as jnp
     from ..mapper.losses import psnr
+    from ..ops import lie
     video = tracker.video
     n = video.count_save
-    if n == 0:
-        return None
-    from ..ops import lie
+    if n > 0:
+        poses = video.poses_save[:n]
+        images = video.images_save[:n]
+        disps_up = video.disps_up_save[:n]
+    else:
+        n = video.counter
+        if n == 0:
+            return None
+        poses, images, disps_up = (np.asarray(x[:n]) for x in (
+            video.bufs.poses, video.bufs.images, video.bufs.disps_up))
     idx = np.linspace(0, n - 1, min(n_eval, n)).astype(int)
     vals = []
     intr = np.asarray(video.bufs.intrinsics[0]) * 8.0
@@ -41,10 +50,10 @@ def eval_psnr(mapper, tracker, n_eval=10):
               "H": video.ht, "W": video.wd}
     for i in idx:
         w2c = np.asarray(lie.se3_matrix(jnp.asarray(
-            video.poses_save[i], jnp.float32)))
+            poses[i], jnp.float32)))
         rets = mapper.render_at(w2c, intr_d)
-        gt = jnp.moveaxis(jnp.asarray(video.images_save[i]), -1, 0)
-        mask = jnp.asarray(video.disps_up_save[i] > 0)
+        gt = jnp.moveaxis(jnp.asarray(images[i]), -1, 0)
+        mask = jnp.asarray(disps_up[i] > 0)
         vals.append(float(psnr(rets["rgb"], gt, mask)))
     return float(np.mean(vals))
 
