@@ -20,22 +20,31 @@ from __future__ import annotations
 import numpy as np
 
 
-def _texture(p):
+def texture_params(seed=0, n_waves=6):
+    """Random multi-scale sinusoid mixture parameters: per channel,
+    n_waves (frequency vector, phase, amplitude) triples with 1/f
+    amplitude falloff. seed=0 reproduces a fixed default scene."""
+    rng = np.random.default_rng(seed)
+    freq = rng.uniform(0.5, 12.0, (3, n_waves, 3)) * \
+        rng.choice([-1, 1], (3, n_waves, 3))
+    phase = rng.uniform(0, 2 * np.pi, (3, n_waves))
+    fmag = np.linalg.norm(freq, axis=-1)
+    amp = rng.uniform(0.5, 1.0, (3, n_waves)) / (1.0 + 0.4 * fmag)
+    amp = 0.45 * amp / amp.sum(-1, keepdims=True)
+    return {"freq": freq, "phase": phase, "amp": amp}
+
+
+def _texture(p, tex=None):
     """(...,3) world point -> (...,3) rgb in [0,1]; smooth, multi-scale."""
-    x, y, z = p[..., 0], p[..., 1], p[..., 2]
-    r = 0.5 + 0.25 * np.sin(1.3 * x + 0.7 * y) \
-        + 0.15 * np.sin(4.1 * y - 2.3 * z) \
-        + 0.10 * np.sin(9.7 * x + 7.3 * z)
-    g = 0.5 + 0.25 * np.cos(1.1 * z - 0.9 * x) \
-        + 0.15 * np.sin(3.7 * x + 4.3 * y) \
-        + 0.10 * np.cos(8.3 * y + 6.1 * z)
-    b = 0.5 + 0.25 * np.sin(0.9 * y + 1.2 * z) \
-        + 0.15 * np.cos(5.1 * x - 3.1 * z) \
-        + 0.10 * np.sin(7.9 * x + 9.1 * y)
-    return np.clip(np.stack([r, g, b], -1), 0.0, 1.0)
+    if tex is None:
+        tex = texture_params(0)
+    proj = np.einsum("...d,cwd->...cw", p, tex["freq"])
+    waves = np.sin(proj + tex["phase"])
+    rgb = 0.5 + np.einsum("...cw,cw->...c", waves, tex["amp"])
+    return np.clip(rgb, 0.0, 1.0)
 
 
-def render_room(c2w, intr, h, w, room=4.0):
+def render_room(c2w, intr, h, w, room=4.0, tex=None):
     """Ray-cast the [-room, room]^3 box interior. Returns rgb (h,w,3) f32
     and depth (h,w) f32 (z-depth along the camera axis)."""
     fx, fy, cx, cy = [float(v) for v in intr]
@@ -53,7 +62,7 @@ def render_room(c2w, intr, h, w, room=4.0):
             tt = (sgn * room - o[..., axis]) / safe
             best_t = np.where((tt > 1e-6) & (tt < best_t), tt, best_t)
     pts = o + best_t[..., None] * d
-    rgb = _texture(pts).astype(np.float32)
+    rgb = _texture(pts, tex).astype(np.float32)
     # z-depth (what the pipeline's disps parameterize), via the
     # camera-frame hit point
     p_cam = (pts - t) @ R
@@ -91,6 +100,7 @@ class Synthetic3DDataset:
         f = float(ds.get("focal", 0.9 * self.w))
         self.intr = np.asarray([f, f, self.w / 2, self.h / 2], np.float32)
         self.with_depth = bool(ds.get("with_depth", False))
+        self.tex = texture_params(int(ds.get("tex_seed", 0)))
         self.c2i = np.eye(4)
 
     def __len__(self):
@@ -101,7 +111,8 @@ class Synthetic3DDataset:
 
     def __getitem__(self, k):
         c2w = self.gt_c2w(k)
-        rgb, depth = render_room(c2w, self.intr, self.h, self.w, self.room)
+        rgb, depth = render_room(c2w, self.intr, self.h, self.w, self.room,
+                                 tex=self.tex)
         pkt = {"timestamp": float(k), "rgb": rgb, "intrinsic": self.intr}
         if self.with_depth:
             pkt["depth"] = depth

@@ -242,8 +242,32 @@ def convert_droid_checkpoint(state_dict) -> Dict[str, Any]:
     return {"params": p}
 
 
+def save_flax_weights(path, variables):
+    """Save flax variables as a flat .npz (f16 storage — inference-grade
+    precision at half the repo size; cast back to f32 on load)."""
+    import numpy as np
+    from flax.traverse_util import flatten_dict
+    flat = {"/".join(k): np.asarray(v, np.float16)
+            for k, v in flatten_dict(variables).items()}
+    np.savez_compressed(path, **flat)
+
+
+def load_flax_weights(path):
+    import numpy as np
+    import jax.numpy as jnp
+    from flax.traverse_util import unflatten_dict
+    with np.load(path) as z:
+        flat = {tuple(k.split("/")): jnp.asarray(z[k], jnp.float32)
+                for k in z.files}
+    return unflatten_dict(flat)
+
+
 def load_droid_weights(path):
-    """Load droid.pth (torch checkpoint) -> flax variables."""
+    """Load droid weights: either the reference droid.pth (torch
+    checkpoint, converted 1:1) or a self-trained flax .npz
+    (scripts/train_droid.py)."""
+    if str(path).endswith(".npz"):
+        return load_flax_weights(path)
     import torch
     sd = torch.load(path, map_location="cpu", weights_only=True)
     if isinstance(sd, dict) and "model" in sd:
