@@ -41,7 +41,8 @@ def main():
             "iters1": 2, "iters2": 1, "active_window": 12, "max_age": 12,
             "rollup_at": 40, "rollup_n": 16, "save_buffer": 256,
         },
-        "training_args": {"iters": 50, "num_keyframe": 5},
+        "training_args": {"iters": 50, "num_keyframe": 5,
+                          "coarse_frac": 0.5},
         "mapper": {"capacity": 1 << 18, "pair_capacity": 1 << 18,
                    "chunk": 128, "side": 3, "visible_capacity": 1 << 16,
                    "kf_capacity": 8, "adaptive_iters": 23.0,
@@ -73,10 +74,10 @@ def main():
             mapper.run(viz)
     jax.block_until_ready(tracker.video.bufs.poses)
     jax.block_until_ready(mapper.state.xyz)
-    # freeze the pair-capacity bucket at its settled value: a bucket switch
-    # recompiles the bin/train programs, which must not land inside the
-    # measured section (long runs settle the bucket the same way)
-    mapper._p_cap_min = mapper._p_cap_max = mapper.bin_kwargs["p_cap"]
+    # freeze the pair-capacity buckets at their settled values: a bucket
+    # switch recompiles the bin/train programs, which must not land inside
+    # the measured section (long runs settle the buckets the same way)
+    mapper.freeze_buckets()
     # pre-compile the adaptive halved-iters train_loop variant so the
     # PSNR-triggered switch doesn't compile mid-measurement
     if viz is not None and mapper._metrics_dev is not None:

@@ -163,3 +163,53 @@ def test_pair_capacity_bucket_hysteresis():
     for _ in range(3):
         m._tune_pair_capacity(binned(20000))
     assert m.bin_kwargs["p_cap"] == 1 << 15, m.bin_kwargs["p_cap"]
+
+
+def test_mapper_coarse_to_fine():
+    """coarse_frac > 0 runs the first half of the budget at half res on its
+    own binning cache/bucket; quality at full res must hold (the fine phase
+    sees full-res pixels) and both caches drop on invalidate_binning()."""
+    rng = np.random.default_rng(5)
+    viz_out, _ = make_viz_out(rng, n_kf=3)
+    cfg = small_cfg()
+    cfg["training_args"]["coarse_frac"] = 0.5
+    mapper = GaussianMapper(cfg)
+    mapper.run(viz_out)
+    viz2 = dict(viz_out)
+    viz2["viz_out_idx_to_f_idx"] = np.arange(1, 4, dtype=np.float64)
+    mapper.run(viz2)
+    assert mapper._binned_c is not None
+    w2c = np.linalg.inv(viz_out["poses"][0])
+    rets = mapper.render_at(w2c, viz_out["intrinsic"])
+    gt = jnp.moveaxis(jnp.asarray(viz_out["images"][0]), -1, 0)
+    mask = jnp.asarray(viz_out["depths"][0][..., 0] > 0)
+    val = float(psnr(rets["rgb"], gt, mask))
+    assert val > 14.0, f"PSNR too low with coarse-to-fine: {val}"
+    mapper.invalidate_binning()
+    assert mapper._binned is None and mapper._binned_c is None
+
+
+def test_half_batch_and_intr():
+    """2x2 pooling halves H/W; the pooled intrinsics re-project pooled
+    pixel centers onto the same rays (u_half = (u_full - 0.5) / 2)."""
+    from vings_mono_tpu.mapper.train import (KeyframeBatch, half_batch,
+                                             half_intr4)
+    H, W = 8, 12
+    imgs = jnp.arange(2 * 3 * H * W, dtype=jnp.float32).reshape(2, 3, H, W)
+    b = KeyframeBatch(images=imgs, depths=imgs[:, :1] + 1.0,
+                      depths_cov=jnp.ones((2, 1, H, W)),
+                      w2cs=jnp.eye(4)[None].repeat(2, 0),
+                      global_kf_id=jnp.arange(2), n_valid=jnp.asarray(2),
+                      pixel_mask=jnp.ones((2, H, W), bool))
+    hb = half_batch(b)
+    assert hb.images.shape == (2, 3, H // 2, W // 2)
+    assert np.allclose(hb.images[0, 0, 0, 0],
+                       np.mean(np.asarray(imgs[0, 0, :2, :2])))
+    intr4 = jnp.asarray([30.0, 30.0, W / 2, H / 2], jnp.float32)
+    i2 = half_intr4(intr4)
+    # the renderer puts pixel centers at INTEGER coords (naive.py:74,
+    # ray = (u-cx)/fx); pooled pixel 0 averages full-res pixels {0,1}
+    # whose center-of-mass sits at full-res coord 0.5 -> same ray
+    ray_full = (0.5 - float(intr4[2])) / float(intr4[0])
+    ray_half = (0.0 - float(i2[2])) / float(i2[0])
+    assert abs(ray_full - ray_half) < 1e-6

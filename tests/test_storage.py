@@ -15,6 +15,12 @@ class FakeMapper:
         self.state = empty_state(cap)
         self.opt = adam_init(self.state)
         self.initialized = True
+        self._binned = object()  # sentinel: page-in must clear it
+        self._binned_c = object()
+
+    def invalidate_binning(self):
+        self._binned = None
+        self._binned_c = None
 
 
 class FakeVideo:

@@ -110,7 +110,7 @@ def rectify_gaussians(mapper, old_c2ws, new_c2ws, score_prune=0.1):
     # the meter-scale teleport invalidates every cached tile assignment —
     # BinnedScene stores them by Gaussian index (binning.py), so stale rows
     # would rasterize moved Gaussians in their OLD tiles
-    mapper._binned = None
+    mapper.invalidate_binning()
     return int(jnp.sum(kill))
 
 

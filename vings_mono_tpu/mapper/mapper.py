@@ -73,19 +73,53 @@ class GaussianMapper:
         self._binned = None
         self._cached_gids = None
         self._bin_age = None
+        # coarse-to-fine: fraction of each keyframe's train iterations run
+        # at half resolution (0 = off). Own binning cache + pair bucket —
+        # pairs/tiles at half res are ~1/3 of full res.
+        self.coarse_frac = float(
+            cfg["training_args"].get("coarse_frac", 0.0))
+        self.bin_kwargs_c = dict(self.bin_kwargs,
+                                 p_cap=max(self._p_cap_min,
+                                           self._p_cap_max // 2))
+        self._binned_c = None
+        self._cached_gids_c = None
+        self._bin_age_c = None
+
+    def invalidate_binning(self):
+        """Drop both binning caches — REQUIRED after any Gaussian teleport
+        (loop rectification) or storage page-in: BinnedScene stores tile
+        assignments by Gaussian index."""
+        self._binned = None
+        self._binned_c = None
 
     @property
     def render_kwargs(self):
         return tuple(self.bin_kwargs.items()) + self._impl_kwargs
 
-    def _tune_pair_capacity(self, binned):
+    @property
+    def render_kwargs_c(self):
+        return tuple(self.bin_kwargs_c.items()) + self._impl_kwargs
+
+    def freeze_buckets(self):
+        """Pin both pair-capacity buckets at their current settled values
+        (bench: a bucket switch recompiles and must not land inside the
+        measured section)."""
+        self._cap_frozen = True
+
+    def _tune_pair_capacity(self, binned, sfx="", pulled=None):
         """Pick next keyframe's pair-capacity bucket from this keyframe's
-        observed pair count (one d2h scalar pull; the binning program has
-        already finished by the time the mapper returns)."""
-        n = int(jax.device_get(jnp.max(binned.n_pairs)))
-        overflow = bool(jax.device_get(jnp.any(binned.overflow)))
-        self._last_npairs = n
-        cap = self.bin_kwargs["p_cap"]
+        observed pair count. `pulled` lets run() batch the full+coarse
+        d2h pulls into ONE sync (each is 5-40 ms through the tunnel)."""
+        if getattr(self, "_cap_frozen", False):
+            return
+        if pulled is None:
+            pulled = jax.device_get((jnp.max(binned.n_pairs),
+                                     jnp.any(binned.overflow)))
+        n, overflow = int(pulled[0]), bool(pulled[1])
+        if sfx == "":
+            self._last_npairs = n
+        kw = getattr(self, "bin_kwargs" + sfx)
+        cap = kw["p_cap"]
         if overflow:
             want = self._p_cap_max
         else:
@@ -93,20 +127,22 @@ class GaussianMapper:
             while want < min(n * 13 // 10 + 1, self._p_cap_max):
                 want *= 2
             want = min(want, self._p_cap_max)
+        votes_attr = "_shrink_votes" + sfx
         if want > cap:                 # grow immediately (overflow drops
-            self._shrink_votes = 0     # pairs -> rendering artifacts)
+            setattr(self, votes_attr, 0)  # pairs -> rendering artifacts)
         elif want < cap:
             # shrink only after 3 consecutive votes — each bucket switch
             # recompiles the bin/train programs
-            self._shrink_votes = getattr(self, "_shrink_votes", 0) + 1
-            if self._shrink_votes < 3:
+            votes = getattr(self, votes_attr, 0) + 1
+            setattr(self, votes_attr, votes)
+            if votes < 3:
                 return
-            self._shrink_votes = 0
+            setattr(self, votes_attr, 0)
         else:
-            self._shrink_votes = 0
+            setattr(self, votes_attr, 0)
             return
-        self.bin_kwargs = dict(self.bin_kwargs, p_cap=want)
-        self._binned = None            # cache rows are cap-shaped
+        setattr(self, "bin_kwargs" + sfx, dict(kw, p_cap=want))
+        setattr(self, "_binned" + sfx, None)  # cache rows are cap-shaped
 
     # ---- packing -----------------------------------------------------
     def _pack_batch(self, viz_out) -> KeyframeBatch:
@@ -180,46 +216,58 @@ class GaussianMapper:
         return k
 
     # ---- round-robin binning cache -------------------------------------
-    def _refresh_binned(self, batch, intr4):
+    def _refresh_binned(self, batch, intr4, height=None, width=None,
+                        bin_kwargs=None, sfx=""):
         """Re-bin only the new keyframe + the stalest cached rows; cached
         rows follow the sliding window by global keyframe id. Stale rows
         are safe: the exact-ellipse binning carries 2.5 px of margin (pose
         drift within the window is sub-pixel per keyframe) and pruned
         Gaussians render at zero opacity (projection gates the packed
         payload by `alive`). Newly-densified Gaussians reach every row
-        within ceil(K/rebin_rows) keyframes."""
+        within ceil(K/rebin_rows) keyframes.
+
+        sfx selects the cache: "" = full-res, "_c" = the coarse half-res
+        cache (own resolution + pair bucket, same policy)."""
+        height = self.H if height is None else height
+        width = self.W if width is None else width
+        bin_kwargs = self.bin_kwargs if bin_kwargs is None else bin_kwargs
         kc = self.kf_capacity
         R = self.rebin_rows
         gids = self._gids_host
-        full_rebin = (R <= 0 or R >= kc or self._binned is None)
+        cached = getattr(self, "_binned" + sfx)
+        cached_gids = getattr(self, "_cached_gids" + sfx)
+        full_rebin = (R <= 0 or R >= kc or cached is None)
         if not full_rebin:
             perm = np.zeros(kc, np.int64)
             have = np.zeros(kc, bool)
             for pos, g in enumerate(gids):
-                w = np.where(self._cached_gids == g)[0]
+                w = np.where(cached_gids == g)[0]
                 if len(w):
                     perm[pos] = w[0]
                     have[pos] = True
             if int((~have).sum()) > R:
                 full_rebin = True
         if full_rebin:
-            self._binned = bin_stack(self.state, batch, intr4, self.H,
-                                     self.W, **self.bin_kwargs)
-            self._cached_gids = gids.copy()
-            self._bin_age = np.zeros(kc, np.int64)
-            return self._binned
-        age = np.where(have, self._bin_age[perm] + 1, 1 << 30)
+            binned = bin_stack(self.state, batch, intr4, height, width,
+                               **bin_kwargs)
+            setattr(self, "_binned" + sfx, binned)
+            setattr(self, "_cached_gids" + sfx, gids.copy())
+            setattr(self, "_bin_age" + sfx, np.zeros(kc, np.int64))
+            return binned
+        bin_age = getattr(self, "_bin_age" + sfx)
+        age = np.where(have, bin_age[perm] + 1, 1 << 30)
         rows = np.argsort(-age)[:R]                # stalest first
         part = bin_rows(self.state, batch.w2cs[jnp.asarray(rows,
                                                            jnp.int32)],
-                        intr4, self.H, self.W, **self.bin_kwargs)
-        self._binned = permute_scatter_binned(
-            self._binned, jnp.asarray(perm, jnp.int32), part,
+                        intr4, height, width, **bin_kwargs)
+        binned = permute_scatter_binned(
+            cached, jnp.asarray(perm, jnp.int32), part,
             jnp.asarray(rows, jnp.int32))
+        setattr(self, "_binned" + sfx, binned)
         age[rows] = 0
-        self._bin_age = age
-        self._cached_gids = gids.copy()
-        return self._binned
+        setattr(self, "_bin_age" + sfx, age)
+        setattr(self, "_cached_gids" + sfx, gids.copy())
+        return binned
 
     # ---- new-keyframe detection (judge_new_frame, host logic) ---------
     def _judge_new_frame(self, viz_out):
@@ -303,31 +351,69 @@ class GaussianMapper:
                 iters = max(iters // 2, 10)
 
         lrs = self._lrs(ta)
-        sky_kwargs = {}
+        sky_images = None
         if self.use_sky:
             sky_images = viz_out.get("sky_images")
             sky_images = batch.images if sky_images is None else \
                 jnp.moveaxis(jnp.asarray(sky_images, jnp.float32), -1, 1)
+
+        def _sky_kwargs(b, i4, h, w, bkw, images):
+            if not self.use_sky:
+                return {}
             from .sky import sky_render_params
             sp = sky_render_params(self.sky.state)
             sky_binned = bin_stack(
                 self.sky.state.replace(xyz=sp[0], log_scale=sp[1]),
-                batch, intr4, self.H, self.W, **self.bin_kwargs) \
+                b, i4, h, w, **bkw) \
                 if self.cfg["mapper"].get("impl", "tile") == "tile" else None
-            sky_kwargs = dict(use_sky=True, sky_state=self.sky.state,
-                              sky_opt=self.sky.opt, sky_images=sky_images,
-                              sky_binned=sky_binned)
+            return dict(use_sky=True, sky_state=self.sky.state,
+                        sky_opt=self.sky.opt, sky_images=images,
+                        sky_binned=sky_binned)
+
+        # coarse-to-fine: run the first coarse_frac of the budget at half
+        # resolution (the early iterations move Gaussians toward coarse
+        # photometric agreement; pixels-level detail only matters once
+        # they've settled — ref runs fixed-res but its CUDA rasterizer is
+        # ~10x cheaper per iter, gaussian_base.py:343-434). Cost at half
+        # res is ~1/3 of full (tiles AND pairs shrink ~4x, bucket ~2x).
+        iters_c = 0
+        if (self.coarse_frac > 0 and iters > 1
+                and self.H % 2 == 0 and self.W % 2 == 0):
+            iters_c = min(int(round(iters * self.coarse_frac)), iters - 1)
+        binned_c = None
+        if iters_c:
+            from .train import half_batch, half_intr4, pool2x2
+            batch_c = half_batch(batch)
+            intr4_c = half_intr4(intr4)
+            hc, wc = self.H // 2, self.W // 2
+            binned_c = self._refresh_binned(batch_c, intr4_c, height=hc,
+                                            width=wc,
+                                            bin_kwargs=self.bin_kwargs_c,
+                                            sfx="_c")
+            self.state, self.opt, sky_state, sky_opt, _ = train_loop(
+                self.state, self.opt, batch_c, binned_c, intr4_c,
+                self._next_key(), iters=iters_c, height=hc, width=wc,
+                weights=ta["loss_weights"], lrs=lrs,
+                render_kwargs=self.render_kwargs_c,
+                **_sky_kwargs(batch_c, intr4_c, hc, wc, self.bin_kwargs_c,
+                              None if sky_images is None
+                              else pool2x2(sky_images)))
+            if self.use_sky:
+                self.sky.state, self.sky.opt = sky_state, sky_opt
+
         targs = (self.state, self.opt, batch, binned, intr4,
                  self._next_key())
-        tkw = dict(iters=iters, height=self.H, width=self.W,
+        tkw = dict(iters=iters - iters_c, height=self.H, width=self.W,
                    weights=ta["loss_weights"], lrs=lrs,
-                   render_kwargs=self.render_kwargs, **sky_kwargs)
+                   render_kwargs=self.render_kwargs,
+                   **_sky_kwargs(batch, intr4, self.H, self.W,
+                                 self.bin_kwargs, sky_images))
         # abstract signature for MFU accounting (utils/mfu.py): shapes only,
         # so the program can be re-lowered for XLA cost analysis without
         # holding (donated) buffers alive
         self._mfu_sig = (jax.tree.map(
             lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype)
-            if hasattr(x, "shape") else x, targs), tkw, iters)
+            if hasattr(x, "shape") else x, targs), tkw, iters - iters_c)
         self.state, self.opt, sky_state, sky_opt, metrics = train_loop(
             *targs, **tkw)
         if self.use_sky:
@@ -341,7 +427,14 @@ class GaussianMapper:
             self.state, _ = storage_control(
                 self.state, batch, binned, intr4, height=self.H,
                 width=self.W, render_kwargs=self.render_kwargs)
-        self._tune_pair_capacity(binned)
+        if binned_c is not None:
+            pulled = jax.device_get(
+                (jnp.max(binned.n_pairs), jnp.any(binned.overflow),
+                 jnp.max(binned_c.n_pairs), jnp.any(binned_c.overflow)))
+            self._tune_pair_capacity(binned, pulled=pulled[:2])
+            self._tune_pair_capacity(binned_c, sfx="_c", pulled=pulled[2:])
+        else:
+            self._tune_pair_capacity(binned)
 
     @staticmethod
     def _lrs(ta):
@@ -370,7 +463,7 @@ class GaussianMapper:
             weights={**ta["loss_weights"], **(weights or {})},
             lrs=self._lrs(ta), render_kwargs=self.render_kwargs)
         self._metrics_dev = metrics
-        self._binned = None     # window cache rows are for the live window
+        self.invalidate_binning()  # cache rows are for the live window
 
     # ---- rendering for vis / eval --------------------------------------
     def render_at(self, w2c, intr: dict, max_dist=None):

@@ -77,6 +77,38 @@ def bin_rows(state: GaussianState, w2cs_rows, intr4, height, width,
     return jax.lax.map(one, w2cs_rows)
 
 
+@jax.jit
+def pool2x2(x):
+    """2x2 average pool over the trailing two axes."""
+    return 0.25 * (x[..., 0::2, 0::2] + x[..., 1::2, 0::2] +
+                   x[..., 0::2, 1::2] + x[..., 1::2, 1::2])
+
+
+@jax.jit
+def half_batch(batch: KeyframeBatch) -> KeyframeBatch:
+    """2x2 average-pooled copy of the window for the coarse phase of the
+    coarse-to-fine schedule (train cost is ~linear in tiles+pairs, both
+    ~1/3-1/4 at half resolution). Poses/ids unchanged; the caller halves
+    the intrinsics with the 0.5-pixel-center shift."""
+    pool = pool2x2
+    pm = batch.pixel_mask
+    if pm is not None:
+        pm = (pm[..., 0::2, 0::2] & pm[..., 1::2, 0::2] &
+              pm[..., 0::2, 1::2] & pm[..., 1::2, 1::2])
+    return batch._replace(images=pool(batch.images),
+                          depths=pool(batch.depths),
+                          depths_cov=pool(batch.depths_cov),
+                          pixel_mask=pm)
+
+
+def half_intr4(intr4):
+    """[fx,fy,cx,cy] for the 2x2-pooled image: pooled pixel centers sit at
+    full-res coords 2u+0.5, so u_half = (u_full - 0.5) / 2."""
+    import jax.numpy as jnp
+    f = intr4 * 0.5
+    return f.at[2:].add(-0.25)
+
+
 @functools.partial(jax.jit, donate_argnums=(0,))
 def permute_scatter_binned(full, perm, part, rows):
     """Shift cached binning rows to their new window positions (window

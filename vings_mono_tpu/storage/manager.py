@@ -132,4 +132,4 @@ class StorageManager:
         self.place[near_kf] = 1
         # paged-in rows exist in no cached binning row — they would
         # silently not render until the round-robin cache cycles past them
-        mapper._binned = None
+        mapper.invalidate_binning()

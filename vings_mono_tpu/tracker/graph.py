@@ -104,13 +104,14 @@ def _store_inactive_kernel(inac: InactiveStore, edges: EdgeStore,
                                              "do_ba", "compute_cov",
                                              "e_cap", "i_cap",
                                              "far_threshold",
-                                             "mask_threshold"),
+                                             "mask_threshold", "bf16"),
                    donate_argnums=(2, 3))
 def _fused_update(params, update_apply, bufs: VideoBuffers,
                   edges: EdgeStore, inac: InactiveStore,
                   packed, *, e_cap: int, i_cap: int, w_ba: int, iters: int,
                   far_threshold: float = -1.0, mask_threshold: float = -1.0,
-                  do_ba: bool = True, compute_cov: bool = False):
+                  do_ba: bool = True, compute_cov: bool = False,
+                  bf16: bool = True):
     """One GRU+BA update over the active graph (covisible_graph.py:214-352).
 
     `packed` is ONE int32 host upload carrying all the per-call integers
@@ -152,9 +153,25 @@ def _fused_update(params, update_apply, bufs: VideoBuffers,
 
     # GraphAgg aggregates per *window-relative* source frame
     ii_rel = jnp.clip(ii - base, 0, w_ba - 1)
+    # bf16 GRU compute: the update module's convs are the tracker's
+    # dominant device cost (f32 ran at ~25% of the f32-via-bf16 MXU
+    # envelope — BENCH_NOTES MFU table); params + activations are cast at
+    # this boundary, outputs return to f32 before the BA solve (which
+    # needs f32 conditioning)
+    if bf16:
+        bt = jnp.bfloat16
+        p_in = jax.tree.map(
+            lambda x: x.astype(bt) if x.dtype == jnp.float32 else x, params)
+        gru_in = [edges.net[slots].astype(bt), edges.inp[slots].astype(bt),
+                  corr.astype(bt), motn.astype(bt)]
+    else:
+        p_in = params
+        gru_in = [edges.net[slots], edges.inp[slots], corr, motn]
     net_new, delta, weight, eta, upmask = update_apply(
-        params, edges.net[slots], edges.inp[slots], corr, motn,
-        jnp.where(valid, ii_rel, w_ba), w_ba + 1, True)
+        p_in, *gru_in, jnp.where(valid, ii_rel, w_ba), w_ba + 1, True)
+    net_new, delta, weight, eta, upmask = jax.tree.map(
+        lambda x: x.astype(jnp.float32), (net_new, delta, weight, eta,
+                                          upmask))
 
     target = coords1 + delta
     vmask = valid[:, None, None, None].astype(weight.dtype)
@@ -313,6 +330,7 @@ class CovisibleGraph:
         self.mask_threshold = float(fe.get("mask_threshold", -1.0))
         self.skip_edge = fe.get("skip_edge", False)
         self.frontend_window = int(fe.get("frontend_window", 25))
+        self.bf16_gru = bool(fe.get("bf16_gru", True))
 
         h, w = video.ht // 8, video.wd // 8
         self.h, self.w = h, w
@@ -515,7 +533,7 @@ class CovisibleGraph:
                 self.inac, jnp.asarray(packed))
         kw = dict(e_cap=e, i_cap=i_cap, w_ba=self.w_ba, iters=iters,
                   far_threshold=self.far_threshold,
-                  mask_threshold=self.mask_threshold)
+                  mask_threshold=self.mask_threshold, bf16=self.bf16_gru)
 
         compute_cov = getattr(self, "_next_update_cov", False)
         self._next_update_cov = False

@@ -17,38 +17,57 @@ from ..ops import lie, projective as pops
 from .video import DepthVideo
 
 
-@functools.partial(jax.jit, static_argnames=("fnet_apply",))
-def _features(params, fnet_apply, image):
-    return fnet_apply(params, normalize_image(image[None]))
+def _cast(tree, bf16):
+    if not bf16:
+        return tree
+    return jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16)
+        if x is not None and x.dtype == jnp.float32 else x, tree)
 
 
-@functools.partial(jax.jit, static_argnames=("cnet_apply",))
-def _context(params, cnet_apply, image):
-    return cnet_apply(params, normalize_image(image[None]))
+@functools.partial(jax.jit, static_argnames=("fnet_apply", "bf16"))
+def _features(params, fnet_apply, image, bf16=True):
+    out = fnet_apply(_cast(params, bf16),
+                     _cast(normalize_image(image[None]), bf16))
+    return out.astype(jnp.float32)
 
 
-@functools.partial(jax.jit, static_argnames=("fnet_apply", "update_apply"))
+@functools.partial(jax.jit, static_argnames=("cnet_apply", "bf16"))
+def _context(params, cnet_apply, image, bf16=True):
+    net, inp = cnet_apply(_cast(params, bf16),
+                          _cast(normalize_image(image[None]), bf16))
+    return net.astype(jnp.float32), inp.astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("fnet_apply", "update_apply",
+                                             "bf16"))
 def _features_and_gate(params, fnet_apply, update_apply, image, fmap_kf,
-                       net, inp):
+                       net, inp, bf16=True):
     """fnet + 1-step GRU flow gate fused into ONE program — each separate
     dispatch pays a host->device round trip, and these two run back to back
     every frame (motion_filter.py:75-84)."""
-    fmap = fnet_apply(params, normalize_image(image[None]))
+    p = _cast(params, bf16)
+    fmap = fnet_apply(p, _cast(normalize_image(image[None]), bf16))
     h, w = fmap.shape[1:3]
-    pyr = corr_ops.build_pyramid(fmap_kf, fmap)
+    pyr = corr_ops.build_pyramid(fmap_kf.astype(fmap.dtype), fmap)
     coords0 = pops.coords_grid(h, w)[None]
     corr = corr_ops.lookup(pyr, coords0)
-    _, delta, _, _, _ = update_apply(params, net, inp, corr, None, None, 0,
+    _, delta, _, _, _ = update_apply(p, _cast(net, bf16), _cast(inp, bf16),
+                                     _cast(corr, bf16), None, None, 0,
                                      False)
-    return fmap, jnp.mean(jnp.linalg.norm(delta, axis=-1))
+    delta = delta.astype(jnp.float32)
+    return fmap.astype(jnp.float32), \
+        jnp.mean(jnp.linalg.norm(delta, axis=-1))
 
 
 class MotionFilter:
-    def __init__(self, params, apply_fns, video: DepthVideo, thresh=2.5):
+    def __init__(self, params, apply_fns, video: DepthVideo, thresh=2.5,
+                 bf16=True):
         self.params = params
         self.fnet_apply, self.cnet_apply, self.update_apply = apply_fns
         self.video = video
         self.thresh = thresh
+        self.bf16 = bool(bf16)
         self.count = 0
         self.fmap = None
         self.net = None
@@ -65,7 +84,8 @@ class MotionFilter:
                                    image.shape[1] // 8), jnp.float32)
 
         if self.video.counter == 0:
-            fmap = _features(self.params, self.fnet_apply, image)
+            fmap = _features(self.params, self.fnet_apply, image,
+                             bf16=self.bf16)
             fm, net, inp = self._full_context(image, fmap)
             self.video.append(tstamp, image, lie.se3_identity(),
                               jnp.ones_like(disp_sens), disp_sens,
@@ -76,12 +96,13 @@ class MotionFilter:
             # gate disabled (every frame is a keyframe): skip the flow
             # magnitude entirely — float(mag) is a device sync the host
             # would otherwise pay every frame
-            fmap = _features(self.params, self.fnet_apply, image)
+            fmap = _features(self.params, self.fnet_apply, image,
+                             bf16=self.bf16)
             mag = float("inf")
         else:
             fmap, mag_dev = _features_and_gate(
                 self.params, self.fnet_apply, self.update_apply, image,
-                self.fmap, self.net, self.inp)
+                self.fmap, self.net, self.inp, bf16=self.bf16)
             mag = float(mag_dev)
         if mag > self.thresh:
             self.count = 0
@@ -93,6 +114,7 @@ class MotionFilter:
         return False
 
     def _full_context(self, image, fmap):
-        net, inp = _context(self.params, self.cnet_apply, image)
+        net, inp = _context(self.params, self.cnet_apply, image,
+                            bf16=self.bf16)
         self.fmap, self.net, self.inp = fmap, net, inp
         return fmap, net, inp

@@ -38,7 +38,8 @@ class Tracker:
         self.filter = MotionFilter(
             self.params,
             (self.fnet_apply, self.cnet_apply, self.update_apply),
-            self.video, thresh=float(cfg["frontend"]["filter_thresh"]))
+            self.video, thresh=float(cfg["frontend"]["filter_thresh"]),
+            bf16=bool(cfg["frontend"].get("bf16_gru", True)))
         self.frontend = Frontend(self.video, self.graph, cfg)
         self.local_to_global_bias = 0
 
