@@ -23,6 +23,8 @@ def _conv(ch, k, name):
 
 
 class SuperPoint(nn.Module):
+    with_logits: bool = False   # training: also return the 65-way logits
+
     @nn.compact
     def __call__(self, image):
         """image (B, H, W, 1) grayscale in [0,1] ->
@@ -55,6 +57,8 @@ class SuperPoint(nn.Module):
         desc = _conv(256, 1, "convDb")(e)
         desc = desc / jnp.clip(jnp.linalg.norm(desc, axis=-1,
                                                keepdims=True), 1e-8)
+        if self.with_logits:
+            return heat, desc, logits
         return heat, desc
 
 
@@ -134,6 +138,10 @@ def load_superpoint(path=None):
         params = model.init(jax.random.PRNGKey(0),
                             jnp.zeros((1, 64, 64, 1)))
         return model, params
+    if str(path).endswith(".npz"):
+        # self-trained flax weights (scripts/train_superpoint.py)
+        from .droid_net import load_flax_weights
+        return model, load_flax_weights(path)
     if str(path).endswith(".onnx"):
         # the reference ships SuperPoint as .onnx (loop/lightglue.py:12)
         from ..utils.onnx_weights import load_onnx_initializers
