@@ -128,15 +128,75 @@ def main():
     from vings_mono_tpu.utils.mfu import bench_mfu
     mfu = bench_mfu(tracker, mapper, n_meas, n_kf, dt)
 
+    # ---- second measured section: the REFERENCE operating point — the
+    # self-trained DROID weights drive a real motion-filter gate
+    # (filter_thresh > 0) and keyframe test, so only selected frames are
+    # keyframed/mapped (ref dbaf.py:50-53 runs filter_thresh 2.4 with the
+    # official droid.pth). The headline stays the all-keyframe adversarial
+    # config for round-over-round comparability.
+    import os
+    gated_fps = gated_kf_frac = None
+    wpath = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "vings_mono_tpu", "weights",
+                         "droid_selftrained.npz")
+    if os.path.exists(wpath):
+        gcfg = load_config(overrides={
+            "mode": "vo",
+            "frontend": dict(cfg["frontend"], filter_thresh=1.75,
+                             keyframe_thresh=2.0, weight=wpath),
+            "training_args": dict(cfg["training_args"]),
+            "mapper": dict(cfg["mapper"]),
+        })
+        gtracker = Tracker(gcfg, H, W, weights_path=wpath)
+        gmapper = GaussianMapper(gcfg)
+        for k in range(n_warm):
+            gtracker.track(frame(k))
+            viz = judge_and_package(gtracker, gcfg)
+            if viz is not None:
+                gmapper.run(viz)
+        jax.block_until_ready(gtracker.video.bufs.poses)
+        jax.block_until_ready(gmapper.state.xyz)
+        gmapper.freeze_buckets()
+        q2 = queue.Queue(maxsize=4)
+
+        def gmap_worker():
+            while True:
+                v = q2.get()
+                if v is None:
+                    return
+                gmapper.run(v)
+
+        th2 = threading.Thread(target=gmap_worker)
+        th2.start()
+        t0 = time.perf_counter()
+        g_kf = 0
+        for k in range(n_warm, n_warm + n_meas):
+            gtracker.track(frames[k])
+            viz = judge_and_package(gtracker, gcfg)
+            if viz is not None:
+                q2.put(viz)
+                g_kf += 1
+        q2.put(None)
+        th2.join()
+        jax.block_until_ready(gtracker.video.bufs.poses)
+        jax.block_until_ready(gmapper.state.xyz)
+        gdt = time.perf_counter() - t0
+        gated_fps = round(n_meas / gdt, 3)
+        gated_kf_frac = round(g_kf / n_meas, 3)
+
     fps = n_meas / dt
-    print(json.dumps({
+    out = {
         "metric": "tracking+mapping_fps_synthetic_240x432",
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / 20.0, 3),
         "mfu": round(mfu["mfu"], 5),
         "achieved_tflops": round(mfu["achieved_flops_per_s"] / 1e12, 4),
-    }))
+    }
+    if gated_fps is not None:
+        out["gated_fps"] = gated_fps
+        out["gated_keyframe_frac"] = gated_kf_frac
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

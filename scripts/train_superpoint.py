@@ -118,7 +118,10 @@ def random_pair(rng):
     """One training sample: two overlapping views of a random room with
     corner self-labels + exact correspondences."""
     room = rng.uniform(3.0, 5.0)
-    tex = texture_params(rng.integers(1 << 31))
+    # sharp (square-wave-shaped) textures: smooth sinusoids have no
+    # localizable corners, so the 65-way sub-pixel detector objective is
+    # unlearnable on them (det_acc pinned at 0 in the first run)
+    tex = texture_params(rng.integers(1 << 31), sharpness=1.0)
     f = rng.uniform(0.8, 1.1) * W
     intr = np.asarray([f, f, W / 2, H / 2], np.float32)
     for _ in range(8):                       # resample until enough overlap
@@ -143,37 +146,69 @@ def random_pair(rng):
 def make_train_step(model, opt):
     import optax
 
+    # spatial label smoothing over the 8x8 sub-pixel grid: exact 64-way
+    # position targets are too sparse a signal to generalize from at this
+    # batch/step budget (det_acc stayed 0.000 for 2k+ steps); a sigma=1px
+    # Gaussian around the label subpixel trains position-to-~1px, which is
+    # well inside PnP's 4px reprojection gate (loop/detect.py:119)
+    dyx = np.stack(np.meshgrid(np.arange(8), np.arange(8),
+                               indexing="ij"), -1).reshape(64, 2)
+    d2 = ((dyx[None, :, :] - dyx[:, None, :]) ** 2).sum(-1)
+    smooth64 = np.exp(-d2 / 2.0)
+    smooth64 /= smooth64.sum(1, keepdims=True)
+    target_table = np.zeros((65, 65), np.float32)
+    target_table[:64, :64] = smooth64
+    target_table[64, 64] = 1.0
+    target_table = jnp.asarray(target_table)
+
     def loss_fn(params, batch):
         _, desc_map, logits = model.apply(params, batch["gray"])
         # detector 65-way CE per cell (the standard SuperPoint detector
-        # loss) against the Shi-Tomasi self-labels; 64 = dustbin
+        # loss) against smoothed Shi-Tomasi self-labels; 64 = dustbin
         B = logits.shape[0]
         logp = jax.nn.log_softmax(logits.reshape(B, h8 * w8, 65), -1)
         lab = batch["labels"]
-        ce = -jnp.take_along_axis(logp, lab[..., None], -1).mean()
+        ce = -jnp.sum(target_table[lab] * logp, -1).mean()
 
-        # descriptor InfoNCE over exact correspondences
-        da = sample_descriptors(batch["pts_a"], desc_map[0], (H, W))
-        db = sample_descriptors(batch["pts_b"], desc_map[1], (H, W))
-        val = batch["valid"]
-        sim = (da @ db.T) / 0.07
-        big = jnp.where(val[None, :], 0.0, -1e9)
-        logits_ab = sim + big                  # mask invalid columns
-        logits_ba = sim.T + jnp.where(val[None, :], 0.0, -1e9)
-        tgt = jnp.arange(K)
-        ce_ab = -jnp.take_along_axis(jax.nn.log_softmax(logits_ab, -1),
-                                     tgt[:, None], -1)[:, 0]
-        ce_ba = -jnp.take_along_axis(jax.nn.log_softmax(logits_ba, -1),
-                                     tgt[:, None], -1)[:, 0]
-        nce = jnp.sum(jnp.where(val, ce_ab + ce_ba, 0.0)) \
-            / jnp.clip(val.sum(), 1, None) * 0.5
-        # diagnostics: detector cell accuracy + mutual-NN match accuracy
-        acc_det = jnp.mean((jnp.argmax(logp, -1) == lab)
-                           & (lab != 64)) / jnp.clip(
-            jnp.mean(lab != 64), 1e-6, None)
-        acc_m = jnp.sum((jnp.argmax(sim + big, -1) == tgt) & val) \
-            / jnp.clip(val.sum(), 1, None)
-        return ce + nce, (ce, nce, acc_det, acc_m)
+        # descriptor InfoNCE over exact correspondences, vmapped over the
+        # pairs in the batch (views are interleaved [a0, b0, a1, b1, ...])
+        npairs = B // 2
+        dm = desc_map.reshape(npairs, 2, *desc_map.shape[1:])
+        pts_a = batch["pts_a"].reshape(npairs, K, 2)
+        pts_b = batch["pts_b"].reshape(npairs, K, 2)
+        vals = batch["valid"].reshape(npairs, K)
+
+        def pair_nce(dm2, pa, pb, val):
+            da = sample_descriptors(pa, dm2[0], (H, W))
+            db = sample_descriptors(pb, dm2[1], (H, W))
+            sim = (da @ db.T) / 0.07
+            big = jnp.where(val[None, :], 0.0, -1e9)
+            logits_ab = sim + big              # mask invalid columns
+            logits_ba = sim.T + big
+            tgt = jnp.arange(K)
+            ce_ab = -jnp.take_along_axis(
+                jax.nn.log_softmax(logits_ab, -1), tgt[:, None], -1)[:, 0]
+            ce_ba = -jnp.take_along_axis(
+                jax.nn.log_softmax(logits_ba, -1), tgt[:, None], -1)[:, 0]
+            nce_p = jnp.sum(jnp.where(val, ce_ab + ce_ba, 0.0)) \
+                / jnp.clip(val.sum(), 1, None) * 0.5
+            acc_p = jnp.sum((jnp.argmax(sim + big, -1) == tgt) & val) \
+                / jnp.clip(val.sum(), 1, None)
+            return nce_p, acc_p
+
+        nces, accs = jax.vmap(pair_nce)(dm, pts_a, pts_b, vals)
+        nce = nces.mean()
+        # diagnostics: detector cell accuracy (exact + within-2px) and
+        # mutual-NN match accuracy
+        pred = jnp.argmax(logp, -1)
+        corner = lab != 64
+        acc_det = jnp.mean((pred == lab) & corner) / jnp.clip(
+            jnp.mean(corner), 1e-6, None)
+        dpix2 = (pred // 8 - lab // 8) ** 2 + (pred % 8 - lab % 8) ** 2
+        acc_det2 = jnp.mean((pred != 64) & (dpix2 <= 4) & corner) / \
+            jnp.clip(jnp.mean(corner), 1e-6, None)
+        acc_m = accs.mean()
+        return ce + nce, (ce, nce, acc_det, acc_det2, acc_m)
 
     @jax.jit
     def step(params, opt_state, batch):
@@ -214,34 +249,48 @@ def main():
     opt_state = opt.init(params)
     step_fn = make_train_step(model, opt)
 
-    q = queue.Queue(maxsize=12)
+    # sample POOL instead of a queue: the 1-core host can only render
+    # ~3 pairs/s, so steps draw batches from a growing pool the producer
+    # keeps refreshing — batch size is decoupled from render throughput
+    pool = []
+    pool_cap = 512
+    lock = threading.Lock()
     stop = threading.Event()
 
     def producer(seed):
         rng = np.random.default_rng(seed)
         while not stop.is_set():
             s = random_pair(rng)
-            while not stop.is_set():
-                try:
-                    q.put(s, timeout=1.0)
-                    break
-                except queue.Full:
-                    pass
+            with lock:
+                if len(pool) < pool_cap:
+                    pool.append(s)
+                else:
+                    pool[rng.integers(pool_cap)] = s
 
     threading.Thread(target=producer, args=(77,), daemon=True).start()
+    while len(pool) < 8:
+        time.sleep(0.5)
+    bs_pairs = 3
+    brng = np.random.default_rng(123)
 
     hist = []
     t0 = time.time()
     for it in range(args.steps):
-        s = q.get()
-        batch = {k: jnp.asarray(v) for k, v in s.items()}
+        with lock:
+            picks = [pool[i] for i in
+                     brng.integers(len(pool), size=bs_pairs)]
+        batch = {k: jnp.asarray(np.concatenate([p[k] for p in picks])
+                                if picks[0][k].ndim and
+                                picks[0][k].shape[0] == 2
+                                else np.stack([p[k] for p in picks]))
+                 for k in picks[0]}
         params, opt_state, loss, aux = step_fn(params, opt_state, batch)
         hist.append([float(loss)] + [float(a) for a in aux])
         if (it + 1) % 25 == 0:
             m = np.mean(hist[-25:], axis=0)
             print(f"step {it + 1}/{args.steps} loss {m[0]:.4f} "
                   f"det_ce {m[1]:.4f} nce {m[2]:.4f} det_acc {m[3]:.3f} "
-                  f"match_acc {m[4]:.3f} "
+                  f"det_acc2px {m[4]:.3f} match_acc {m[5]:.3f} "
                   f"({(time.time() - t0) / (it + 1):.2f}s/it)", flush=True)
         if (it + 1) % args.ckpt_every == 0 or it + 1 == args.steps:
             save_flax_weights(args.out, params)

@@ -309,3 +309,39 @@ def test_retrain_gaussians_after_loop():
         retrain_gaussians(m, video, viz_out["intrinsic"], 0, 2)
     after = mean_psnr()
     assert after > before, (before, after)
+
+
+@pytest.mark.slow
+def test_loop_detection_with_selftrained_superpoint():
+    """Full learned detect chain on real imagery (no detection bypass):
+    self-trained SuperPoint (scripts/train_superpoint.py) extracts
+    keypoints on two held-out room views, mutual-NN matches descriptors,
+    and PnP recovers the second camera's pose — the chain the reference
+    runs with its ONNX SuperPoint session (loop_detect.py:120-193)."""
+    import pathlib
+    pytest.importorskip("cv2")
+    wpath = pathlib.Path(__file__).parents[1] / "vings_mono_tpu" / \
+        "weights" / "superpoint_selftrained.npz"
+    if not wpath.exists():
+        pytest.skip("self-trained SuperPoint weights not present")
+    import sys
+    sys.path.insert(0, str(pathlib.Path(__file__).parents[1] / "scripts"))
+    from eval_superpoint import _pair
+
+    det = LoopDetector({}, str(wpath))
+    rng = np.random.default_rng(3)
+    ok = 0
+    n = 3
+    for _ in range(n):
+        rgb_a, dep_a, c2w_a, rgb_b, dep_b, c2w_b, intr4 = \
+            _pair(rng, 240, 320)
+        fa = det.extract(rgb_a)
+        fb = det.extract(rgb_b)
+        kp_a, kp_b = det.match(fa, fb, img_hw=(240, 320))
+        if len(kp_a) < 12:
+            continue
+        c2w = det.pnp_history_pose(kp_a, kp_b, dep_a, c2w_a, intr4)
+        if c2w is not None and \
+                np.linalg.norm(c2w[:3, 3] - c2w_b[:3, 3]) < 0.25:
+            ok += 1
+    assert ok >= 2, f"PnP pose recovery succeeded on {ok}/{n} pairs"

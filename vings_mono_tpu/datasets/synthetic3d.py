@@ -20,10 +20,17 @@ from __future__ import annotations
 import numpy as np
 
 
-def texture_params(seed=0, n_waves=6):
+def texture_params(seed=0, n_waves=6, sharpness=0.0):
     """Random multi-scale sinusoid mixture parameters: per channel,
     n_waves (frequency vector, phase, amplitude) triples with 1/f
-    amplitude falloff. seed=0 reproduces a fixed default scene."""
+    amplitude falloff. seed=0 reproduces a fixed default scene.
+
+    sharpness > 0 adds a per-wave square-wave shaping weight in
+    [0, sharpness] (tanh-saturated sinusoids): the texture stays a
+    world-space function (view-consistent), but gains hard edges whose
+    intersections form true localizable corners — required for
+    keypoint-detector self-training (smooth sinusoids have no corner
+    whose sub-pixel position is even well-defined)."""
     rng = np.random.default_rng(seed)
     freq = rng.uniform(0.5, 12.0, (3, n_waves, 3)) * \
         rng.choice([-1, 1], (3, n_waves, 3))
@@ -31,7 +38,10 @@ def texture_params(seed=0, n_waves=6):
     fmag = np.linalg.norm(freq, axis=-1)
     amp = rng.uniform(0.5, 1.0, (3, n_waves)) / (1.0 + 0.4 * fmag)
     amp = 0.45 * amp / amp.sum(-1, keepdims=True)
-    return {"freq": freq, "phase": phase, "amp": amp}
+    tex = {"freq": freq, "phase": phase, "amp": amp}
+    if sharpness > 0.0:
+        tex["sq"] = rng.uniform(0.0, sharpness, (3, n_waves))
+    return tex
 
 
 def _texture(p, tex=None):
@@ -40,6 +50,10 @@ def _texture(p, tex=None):
         tex = texture_params(0)
     proj = np.einsum("...d,cwd->...cw", p, tex["freq"])
     waves = np.sin(proj + tex["phase"])
+    sq = tex.get("sq")
+    if sq is not None:
+        k = 1.0 + 15.0 * sq
+        waves = np.tanh(k * waves) / np.tanh(k)
     rgb = 0.5 + np.einsum("...cw,cw->...c", waves, tex["amp"])
     return np.clip(rgb, 0.0, 1.0)
 

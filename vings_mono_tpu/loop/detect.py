@@ -35,15 +35,24 @@ class LoopDetector:
         if lg_params_path:
             from ..models.lightglue import (LightGlue,
                                             convert_lightglue_checkpoint)
-            if str(lg_params_path).endswith(".onnx"):
-                from ..utils.onnx_weights import load_onnx_initializers
-                sd = load_onnx_initializers(lg_params_path)
+            if str(lg_params_path).endswith(".npz"):
+                # self-trained flax checkpoint (scripts/train_lightglue.py)
+                # with an `arch` entry carrying the layer count
+                data = np.load(lg_params_path, allow_pickle=True)
+                layers = int(data["arch"].item()["layers"]) \
+                    if "arch" in data.files else None
+                self.lg = LightGlue(layers=layers) if layers else LightGlue()
+                self.lg_params = {"params": data["params"].item()}
             else:
-                import torch
-                sd = torch.load(lg_params_path, map_location="cpu",
-                                weights_only=True)
-            self.lg = LightGlue()
-            self.lg_params = convert_lightglue_checkpoint(sd)
+                if str(lg_params_path).endswith(".onnx"):
+                    from ..utils.onnx_weights import load_onnx_initializers
+                    sd = load_onnx_initializers(lg_params_path)
+                else:
+                    import torch
+                    sd = torch.load(lg_params_path, map_location="cpu",
+                                    weights_only=True)
+                self.lg = LightGlue()
+                self.lg_params = convert_lightglue_checkpoint(sd)
 
     # ------------------------------------------------------------------
     def _extract_impl(self, gray, hh, ww):

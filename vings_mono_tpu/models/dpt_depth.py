@@ -64,13 +64,21 @@ class DPTDepth(nn.Module):
 
 
 def load_dpt(weights_path=None):
+    """Build DPTDepth (+ params). A checkpoint saved with an `arch` entry
+    (dim/depth/taps — e.g. the self-trained compact variant from
+    scripts/train_metric_depth.py) reconstructs that architecture; plain
+    checkpoints get the ViT-S default."""
     model = DPTDepth()
     if weights_path is None:
         params = model.init(jax.random.PRNGKey(0),
                             jnp.zeros((1, 64, 64, 3)))
-    else:  # converted checkpoint (numpy pytree)
+    else:  # converted/self-trained checkpoint (numpy pytree)
         import numpy as np
-        params = {"params": np.load(weights_path, allow_pickle=True)
-                  ["params"].item()}
+        data = np.load(weights_path, allow_pickle=True)
+        if "arch" in getattr(data, "files", []):
+            arch = data["arch"].item()
+            model = DPTDepth(dim=int(arch["dim"]), depth=int(arch["depth"]),
+                             taps=tuple(arch["taps"]))
+        params = {"params": data["params"].item()}
     predict = jax.jit(lambda p, x: model.apply(p, x))
     return model, params, predict
