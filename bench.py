@@ -78,6 +78,18 @@ def main():
     # switch recompiles the bin/train programs, which must not land inside
     # the measured section (long runs settle the buckets the same way)
     mapper.freeze_buckets()
+    # post-freeze warmup: a bucket switch on the LAST warmup keyframe means
+    # the frozen bucket's train/bin programs have never run — compile them
+    # now, not inside the measured section
+    for k in range(n_warm, n_warm + 2):
+        tracker.track(frame(k))
+        viz2 = judge_and_package(tracker, cfg)
+        if viz2 is not None:
+            viz = viz2
+            mapper.run(viz2)
+    n_warm += 2
+    jax.block_until_ready(tracker.video.bufs.poses)
+    jax.block_until_ready(mapper.state.xyz)
     # pre-compile the adaptive halved-iters train_loop variant so the
     # PSNR-triggered switch doesn't compile mid-measurement
     if viz is not None and mapper._metrics_dev is not None:
@@ -97,12 +109,27 @@ def main():
     import threading
     q = queue.Queue(maxsize=4)
 
+    import os as _os
+    DEBUG = bool(_os.environ.get("BENCH_DEBUG"))
+    if DEBUG:
+        import sys
+        print(f"frozen buckets: full={mapper.bin_kwargs['p_cap']} "
+              f"coarse={mapper.bin_kwargs_c['p_cap']} "
+              f"cache={'ok' if mapper._binned is not None else 'DROPPED'} "
+              f"cache_c={'ok' if mapper._binned_c is not None else 'DROPPED'}",
+              file=sys.stderr, flush=True)
+
     def map_worker():
         while True:
             v = q.get()
             if v is None:
                 return
+            t = time.perf_counter()
             mapper.run(v)
+            if DEBUG:
+                jax.block_until_ready(mapper.state.xyz)
+                print(f"map {time.perf_counter() - t:.2f}s",
+                      file=sys.stderr, flush=True)
 
     # pre-generate the measured frames: the synthetic-pattern numpy math
     # costs tens of ms on this 1-core host and is stand-in dataset IO, not
@@ -150,7 +177,11 @@ def main():
         })
         gtracker = Tracker(gcfg, H, W, weights_path=wpath)
         gmapper = GaussianMapper(gcfg)
-        for k in range(n_warm):
+        # at ~10% keyframe rate the warmup must span enough frames to see
+        # several keyframes, or bucket settling + compiles leak into the
+        # measured section; the gated lane gets its own longer frame range
+        g_warm = 28
+        for k in range(g_warm):
             gtracker.track(frame(k))
             viz = judge_and_package(gtracker, gcfg)
             if viz is not None:
@@ -158,6 +189,14 @@ def main():
         jax.block_until_ready(gtracker.video.bufs.poses)
         jax.block_until_ready(gmapper.state.xyz)
         gmapper.freeze_buckets()
+        for k in range(g_warm, g_warm + 6):   # post-freeze compile warmup
+            gtracker.track(frame(k))
+            viz2 = judge_and_package(gtracker, gcfg)
+            if viz2 is not None:
+                gmapper.run(viz2)
+        g_warm += 6
+        jax.block_until_ready(gtracker.video.bufs.poses)
+        jax.block_until_ready(gmapper.state.xyz)
         q2 = queue.Queue(maxsize=4)
 
         def gmap_worker():
@@ -167,12 +206,13 @@ def main():
                     return
                 gmapper.run(v)
 
+        gframes = {k: frame(k) for k in range(g_warm, g_warm + n_meas)}
         th2 = threading.Thread(target=gmap_worker)
         th2.start()
         t0 = time.perf_counter()
         g_kf = 0
-        for k in range(n_warm, n_warm + n_meas):
-            gtracker.track(frames[k])
+        for k in range(g_warm, g_warm + n_meas):
+            gtracker.track(gframes[k])
             viz = judge_and_package(gtracker, gcfg)
             if viz is not None:
                 q2.put(viz)

@@ -27,7 +27,7 @@ cfg = load_config(overrides={
         "iters1": 2, "iters2": 1, "active_window": 12, "max_age": 12,
         "rollup_at": 40, "rollup_n": 16, "save_buffer": 256,
     },
-    "training_args": {"iters": 50, "num_keyframe": 5},
+    "training_args": {"iters": 50, "num_keyframe": 5, "coarse_frac": 0.5},
     "mapper": {"capacity": 1 << 18, "pair_capacity": 1 << 18,
                "chunk": 128, "side": 3, "visible_capacity": 1 << 16,
                "kf_capacity": 8,
@@ -82,10 +82,60 @@ graph_mod.CovisibleGraph.add_proximity_factors = timed_addprox
 graph_mod.CovisibleGraph.add_factors = timed_add
 
 import vings_mono_tpu.mapper.mapper as mm
+import vings_mono_tpu.mapper.train as mt
 orig_run = mm.GaussianMapper.run
-orig_bin = None
+orig_refresh = mm.GaussianMapper._refresh_binned
+orig_train = mt.train_loop
+orig_addf = mm.add_frame
+orig_storage = mm.storage_control
 
-for k in range(28):
+
+def timed_refresh(self, *a, **k):
+    sfx = k.get("sfx", "")
+    cached = getattr(self, "_binned" + sfx)
+    with sub(f"map.refresh_binned{sfx}"):
+        r = orig_refresh(self, *a, **k)
+        jax.block_until_ready(r.pair_idx)
+    kw = k.get("bin_kwargs") or self.bin_kwargs
+    print(f"  refresh{sfx}: cache={'hit' if cached is not None else 'MISS'} "
+          f"p_cap={kw['p_cap']} n_pairs={int(r.n_pairs.max())} "
+          f"overflow={bool(r.overflow.any())}", flush=True)
+    return r
+
+
+def timed_train(*a, **k):
+    with sub(f"map.train_loop[{k.get('iters')}]"
+             f"@{k.get('height')}x{k.get('width')}"):
+        r = orig_train(*a, **k)
+        jax.block_until_ready(r[0].xyz)
+        return r
+
+
+def timed_addf(*a, **k):
+    with sub("map.add_frame"):
+        r = orig_addf(*a, **k)
+        jax.block_until_ready(r[0].xyz)
+        return r
+
+
+def timed_storage(*a, **k):
+    with sub("map.storage_control"):
+        r = orig_storage(*a, **k)
+        jax.block_until_ready(r[0].xyz)
+        return r
+
+
+mm.GaussianMapper._refresh_binned = timed_refresh
+mm.train_loop = timed_train
+mm.add_frame = timed_addf
+mm.storage_control = timed_storage
+
+WARM = 14
+for k in range(30):
+    if k == WARM:   # drop compile-dominated warmup from the report
+        timer.reset() if hasattr(timer, "reset") else None
+        timer.__init__()
+        sub.__init__()
     t0 = time.perf_counter()
     with timer("track"):
         tracker.track(frame(k))
@@ -97,7 +147,9 @@ for k in range(28):
             mapper.run(viz)
             jax.block_until_ready(mapper.state.xyz)
     dt = time.perf_counter() - t0
-    print(f"frame {k}: {dt:.2f}s", flush=True)
+    ps = mapper.last_metrics.get("psnr")
+    print(f"frame {k}: {dt:.2f}s psnr={ps if ps is None else round(ps, 2)}",
+          flush=True)
 
 print("== totals ==")
 print(timer.report())

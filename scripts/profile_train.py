@@ -25,10 +25,10 @@ enable_compile_cache()
 
 ITERS = int(sys.argv[1]) if len(sys.argv) > 1 else 50
 
-H, W = 240, 432
+H = int(os.environ.get("PT_H", 240)); W = int(os.environ.get("PT_W", 432))
 cfg = load_config(overrides={
     "training_args": {"iters": ITERS, "num_keyframe": 5},
-    "mapper": {"capacity": 1 << 18, "pair_capacity": 1 << 18,
+    "mapper": {"capacity": 1 << 18, "pair_capacity": int(os.environ.get("PT_PCAP", 1 << 18)),
                "chunk": 128, "side": 3, "visible_capacity": 1 << 16,
                "kf_capacity": 8,
                "points_per_frame": 20000, "points_first_frame": 30000},
@@ -49,11 +49,12 @@ batch = KeyframeBatch(images=imgs, depths=depths, depths_cov=covs,
 intr4 = jnp.asarray([220.0, 220.0, W / 2, H / 2], jnp.float32)
 key = jax.random.PRNGKey(0)
 
+NPTS = min(30000, (H * W) - 100)
 for i in range(2):
     mapper.state, mapper.opt, n, _ = add_frame(
         mapper.state, mapper.opt, batch.w2cs[i], intr4, batch.images[i],
         batch.depths[i], jax.random.fold_in(key, i), batch.global_kf_id[i],
-        height=H, width=W, n_points=30000, first=True,
+        height=H, width=W, n_points=NPTS, first=True,
         render_kwargs=mapper.render_kwargs)
 jax.block_until_ready(mapper.state.xyz)
 print("alive", int(mapper.state.n_alive()), flush=True)

@@ -159,10 +159,20 @@ def test_pair_capacity_bucket_hysteresis():
     assert m.bin_kwargs["p_cap"] == 1 << 16
     assert m._binned is None
 
-    # a mid-size count settles on the covering bucket (with 30% headroom)
+    # a mid-size count settles on the covering ladder bucket (15% headroom;
+    # the ladder has 1.5x intermediate steps: 16384, 24576, 32768, ...)
     for _ in range(3):
         m._tune_pair_capacity(binned(20000))
-    assert m.bin_kwargs["p_cap"] == 1 << 15, m.bin_kwargs["p_cap"]
+    assert m.bin_kwargs["p_cap"] == 24576, m.bin_kwargs["p_cap"]
+
+    # no flip-flop when n hovers just under a bucket boundary: growing is
+    # demand-driven (within 5% of cap), not projection-driven
+    for _ in range(6):
+        m._tune_pair_capacity(binned(23000))
+    assert m.bin_kwargs["p_cap"] == 24576, m.bin_kwargs["p_cap"]
+    # ... and crossing the 95% line grows one step
+    m._tune_pair_capacity(binned(23500))
+    assert m.bin_kwargs["p_cap"] == 32768, m.bin_kwargs["p_cap"]
 
 
 def test_mapper_coarse_to_fine():

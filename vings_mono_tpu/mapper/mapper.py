@@ -106,6 +106,24 @@ class GaussianMapper:
         measured section)."""
         self._cap_frozen = True
 
+    def _bucket_ladder(self):
+        """Allowed pair-capacity buckets: {min*2^k} plus 1.5x intermediate
+        steps (when chunk-divisible), capped at pair_capacity. The finer
+        ladder keeps the working bucket stable when the pair count sits
+        near a power of two."""
+        ch = int(self.bin_kwargs["chunk"])
+        out = set()
+        m = self._p_cap_min
+        while m <= self._p_cap_max:
+            out.add(m)
+            m15 = m * 3 // 2
+            if (m * 3) % 2 == 0 and m15 <= self._p_cap_max \
+                    and m15 % ch == 0:
+                out.add(m15)
+            m *= 2
+        out.add(self._p_cap_max)
+        return sorted(out)
+
     def _tune_pair_capacity(self, binned, sfx="", pulled=None):
         """Pick next keyframe's pair-capacity bucket from this keyframe's
         observed pair count. `pulled` lets run() batch the full+coarse
@@ -120,13 +138,25 @@ class GaussianMapper:
             self._last_npairs = n
         kw = getattr(self, "bin_kwargs" + sfx)
         cap = kw["p_cap"]
+        # Bucket ladder with 1.5x intermediate steps and a hysteresis band:
+        # GROW one step only when pairs actually threaten the cap (overflow
+        # or within 5%); SHRINK (3 votes) to the smallest bucket holding
+        # 1.15*n. The old pure power-of-two ladder with a projected-1.3*n
+        # grow rule flip-flopped whenever n hovered near a boundary — and
+        # every bucket switch recompiles bin/train AND drops the binning
+        # cache, which profiling showed as the single largest mapper cost
+        # (~5 s recompile every few keyframes on the coarse cache).
+        buckets = self._bucket_ladder()
         if overflow:
+            # hard overflow: true demand unknown (n clipped at cap) — jump
+            # straight to max rather than rediscovering it a step at a time
             want = self._p_cap_max
+        elif n * 20 > cap * 19:
+            bigger = [b for b in buckets if b > cap]
+            want = bigger[0] if bigger else cap
         else:
-            want = self._p_cap_min
-            while want < min(n * 13 // 10 + 1, self._p_cap_max):
-                want *= 2
-            want = min(want, self._p_cap_max)
+            fits = [b for b in buckets if n * 23 // 20 + 1 <= b]
+            want = min(fits[0] if fits else self._p_cap_max, cap)
         votes_attr = "_shrink_votes" + sfx
         if want > cap:                 # grow immediately (overflow drops
             setattr(self, votes_attr, 0)  # pairs -> rendering artifacts)
