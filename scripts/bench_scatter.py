@@ -263,8 +263,14 @@ rj = timeit_fm("J fm f32 permute+segscan", v_j)
 rk = timeit_fm("K fm bf16-permute f32-segscan", v_k)
 timeit_fm("L fm lane-permute probe", v_l)
 rm = timeit_fm("M fm full bf16", v_m)
+def v_p(g):  # unsorted segment_sum in bf16 (halved scatter bytes)
+    return jax.ops.segment_sum(g.astype(jnp.bfloat16), pair_idx_d,
+                               num_segments=V + 1).astype(jnp.float32)
+
+
 rn = timeit("N bf16 permute + sorted segsum", v_n)
 ro = timeit("O no-barrier bf16 + sorted segsum", v_o)
+rp = timeit("P unsorted segsum bf16", v_p)
 
 
 def relerr(x):

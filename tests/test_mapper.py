@@ -166,12 +166,12 @@ def test_pair_capacity_bucket_hysteresis():
     assert m.bin_kwargs["p_cap"] == 24576, m.bin_kwargs["p_cap"]
 
     # no flip-flop when n hovers just under a bucket boundary: growing is
-    # demand-driven (within 5% of cap), not projection-driven
+    # demand-driven (within 2% of cap), not projection-driven
     for _ in range(6):
         m._tune_pair_capacity(binned(23000))
     assert m.bin_kwargs["p_cap"] == 24576, m.bin_kwargs["p_cap"]
-    # ... and crossing the 95% line grows one step
-    m._tune_pair_capacity(binned(23500))
+    # ... and crossing the 98% line grows one step
+    m._tune_pair_capacity(binned(24200))
     assert m.bin_kwargs["p_cap"] == 32768, m.bin_kwargs["p_cap"]
 
 

@@ -151,7 +151,7 @@ class GaussianMapper:
             # hard overflow: true demand unknown (n clipped at cap) — jump
             # straight to max rather than rediscovering it a step at a time
             want = self._p_cap_max
-        elif n * 20 > cap * 19:
+        elif n * 50 > cap * 49:
             bigger = [b for b in buckets if b > cap]
             want = bigger[0] if bigger else cap
         else:
