@@ -67,9 +67,9 @@ def test_gradients_match_autodiff(rng):
     tgt_rgb = jnp.asarray(rng.uniform(0, 1, size=(3, H, W)), jnp.float32)
     tgt_depth = jnp.asarray(rng.uniform(2, 6, size=(1, H, W)), jnp.float32)
 
-    def loss_fn(p, impl):
+    def loss_fn(p, impl, grad_reduce="bf16"):
         r = render(*p, cam, impl=impl, interpret=True,
-                   p_cap=P_CAP, chunk=CHUNK)
+                   p_cap=P_CAP, chunk=CHUNK, grad_reduce=grad_reduce)
         return (jnp.mean(jnp.abs(r["rgb"] - tgt_rgb))
                 + 0.3 * jnp.mean(jnp.abs(r["depth"] - tgt_depth))
                 + 0.1 * jnp.mean(r["dist"])
@@ -77,14 +77,43 @@ def test_gradients_match_autodiff(rng):
                 + 0.05 * jnp.mean(r["normal"]))
 
     g_naive = jax.grad(lambda p: loss_fn(p, "naive"))(params)
-    g_tile = jax.grad(lambda p: loss_fn(p, "tile"))(params)
+    # exact f32 segment-sum reduction vs autodiff: strict tolerance
+    g_tile = jax.grad(lambda p: loss_fn(p, "tile", "f32"))(params)
+    # production bf16 gather-reduce: same up to bf16 rounding of pair grads
+    g_bf16 = jax.grad(lambda p: loss_fn(p, "tile", "bf16"))(params)
     names = ["xyz", "log_scale", "quat", "logit_opacity", "rgb"]
-    for name, ga, gb in zip(names, g_naive, g_tile):
-        ga, gb = np.asarray(ga), np.asarray(gb)
+    for name, ga, gb, gc in zip(names, g_naive, g_tile, g_bf16):
+        ga, gb, gc = np.asarray(ga), np.asarray(gb), np.asarray(gc)
         assert np.all(np.isfinite(gb)), name
+        assert np.all(np.isfinite(gc)), name
         scale = np.abs(ga).max() + 1e-8
         np.testing.assert_allclose(ga / scale, gb / scale, atol=3e-3,
                                    err_msg=f"grad {name}")
+        np.testing.assert_allclose(gb / scale, gc / scale, atol=2.5e-2,
+                                   err_msg=f"bf16 grad {name}")
+
+
+def test_grad_tbl_is_exact_inverse_pair_map(rng):
+    """The binning's (V, K) inverse table must list every valid pair slot
+    exactly once under its compact row (backward gather-reduce == the
+    exact segment-sum domain), with all other entries at the P_CAP zeros
+    sentinel."""
+    params, cam = make_scene(rng)
+    proj = project_surfels(*params, cam)
+    binned = bin_surfels(proj, height=H, width=W, p_cap=P_CAP, chunk=CHUNK,
+                         side=5)
+    tbl = np.asarray(binned.grad_tbl)          # (V, K)
+    pair_idx = np.asarray(binned.pair_idx)     # (P,) row or V sentinel
+    valid = np.asarray(binned.pair_valid)
+    V = tbl.shape[0]
+    listed = tbl[tbl < P_CAP]
+    # every valid pair appears exactly once
+    assert sorted(listed.tolist()) == sorted(
+        np.nonzero(valid)[0].tolist())
+    # ... under its own compact row
+    for v in range(V):
+        for slot in tbl[v][tbl[v] < P_CAP]:
+            assert pair_idx[slot] == v
 
 
 def test_scores_are_weight_sums(rng):

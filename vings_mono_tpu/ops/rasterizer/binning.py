@@ -54,6 +54,15 @@ class BinnedScene(NamedTuple):
     n_chunks: jnp.ndarray    # () int32 — real chunk count (rest are no-ops)
     n_pairs: jnp.ndarray     # () int32 — real pair count before padding
     overflow: jnp.ndarray    # () bool — pair capacity exceeded (tail dropped)
+    # INVERSE pair map: pair slot of compact row v's candidate k, or P_CAP
+    # (an all-zeros sentinel row in the grad table) when absent. Each
+    # compact row has at most K = side^2 pairs (one per candidate tile), so
+    # the backward pair->Gaussian reduction can run as a GATHER
+    # `grad_table[grad_tbl]` + sum over K instead of a scatter-add —
+    # TPU row-gathers pipeline (~2 ns/row from a VMEM-resident table) while
+    # scatter-adds serialize read-modify-write (~13 ns/row). None when the
+    # binning was built with need_grad=False.
+    grad_tbl: jnp.ndarray = None  # (V_CAP, K) int32
 
 
 def num_tiles(height, width, tile=TILE):
@@ -195,6 +204,7 @@ def bin_surfels(proj: ProjectedSurfels, *, height: int, width: int,
         return jnp.concatenate([x, pad])
 
     s_rank = fit(s_rank, 0)
+    s_k = fit((perm % K).astype(jnp.int32), 0)   # candidate tile ordinal
     s_valid = fit(s_valid, False)
     # invalid candidates carry tile id 0xFFF (> T), keeping the array sorted
     s_tile = fit(s_tile, (1 << (32 - RANK_BITS)) - 1)
@@ -253,13 +263,18 @@ def bin_surfels(proj: ProjectedSurfels, *, height: int, width: int,
     chunk_first = jnp.where(in_range, chunk_first, 0) + \
         2 * in_range.astype(jnp.int32)
 
-    # NB: no second argsort — the _take_rows VJP reduces pair grads with a
-    # compact-domain segment_sum (equal device time to the sorted-segment
-    # chain it replaced, and it frees this binning of the gperm sort that
-    # used to cost ~half the per-camera binning time)
-    del need_grad
+    # ---- inverse pair map for the backward GATHER-reduce (see BinnedScene
+    # docstring): one more fixed-size set-scatter, amortized over the
+    # 25-50 train iterations that reuse this binning. Values are `dest`
+    # directly: candidates dropped by the p_cap clamp carry dest == p_cap,
+    # which is exactly the grad table's all-zeros sentinel row.
+    grad_tbl = None
+    if need_grad:
+        tgt = jnp.where(s_valid, s_rank * K + s_k, v_cap * K)
+        grad_tbl = jnp.full((v_cap * K,), p_cap, jnp.int32).at[tgt].set(
+            dest, mode="drop").reshape(v_cap, K)
     return BinnedScene(pair_idx=pair_idx, pair_valid=pair_valid, sel=sel,
                        chunk_tile=chunk_tile, chunk_first=chunk_first,
                        n_chunks=total_chunks.astype(jnp.int32),
                        n_pairs=jnp.minimum(n_total, p_cap),
-                       overflow=overflow)
+                       overflow=overflow, grad_tbl=grad_tbl)
