@@ -39,7 +39,9 @@ def main():
             "max_factors": 48, "edge_capacity": 64,
             "inactive_capacity": 128, "ba_window": 16,
             "iters1": 2, "iters2": 1, "active_window": 12, "max_age": 12,
-            "rollup_at": 40, "rollup_n": 16, "save_buffer": 256,
+            # first rollup must fire during the throwaway pass (compiles
+            # there), after which rollups are steady-state measured work
+            "rollup_at": 24, "rollup_n": 16, "save_buffer": 256,
         },
         "training_args": {"iters": 50, "num_keyframe": 5,
                           "coarse_frac": 0.5},
@@ -134,7 +136,23 @@ def main():
     # pre-generate the measured frames: the synthetic-pattern numpy math
     # costs tens of ms on this 1-core host and is stand-in dataset IO, not
     # pipeline compute (a real loader would be RAM-cached the same way)
-    frames = {k: frame(k) for k in range(n_warm, n_warm + n_meas)}
+    frames = {k: frame(k) for k in range(n_warm, n_warm + 2 * n_meas)}
+
+    # throwaway overlapped pass: on a cold compile cache the threaded
+    # section still hits 1-2 stragglers (late-lane program variants); they
+    # must not land in the measured pass
+    th = threading.Thread(target=map_worker)
+    th.start()
+    for k in range(n_warm, n_warm + n_meas):
+        tracker.track(frames[k])
+        viz = judge_and_package(tracker, cfg)
+        if viz is not None:
+            q.put(viz)
+    q.put(None)
+    th.join()
+    jax.block_until_ready(tracker.video.bufs.poses)
+    jax.block_until_ready(mapper.state.xyz)
+    n_warm += n_meas
 
     th = threading.Thread(target=map_worker)
     th.start()

@@ -223,3 +223,35 @@ def test_half_batch_and_intr():
     ray_full = (0.5 - float(intr4[2])) / float(intr4[0])
     ray_half = (0.0 - float(i2[2])) / float(i2[0])
     assert abs(ray_full - ray_half) < 1e-6
+
+
+def test_knn_matches_numpy():
+    import numpy as np
+    import jax.numpy as jnp
+    from vings_mono_tpu.ops.knn import knn_mean_sq_dist
+
+    rng = np.random.default_rng(3)
+    pts = rng.uniform(-5, 5, (300, 3)).astype(np.float32) + \
+        np.asarray([10.0, -20.0, 35.0], np.float32)   # off-center cloud
+    valid = np.ones(300, bool)
+    valid[250:] = False
+    out = np.asarray(knn_mean_sq_dist(jnp.asarray(pts),
+                                      jnp.asarray(valid), chunk=128))
+    d = ((pts[:250, None, :] - pts[None, :250, :]) ** 2).sum(-1)
+    np.fill_diagonal(d, np.inf)
+    ref = np.sort(d, axis=1)[:, :3].mean(1)
+    np.testing.assert_allclose(out[:250], ref, rtol=1e-3, atol=1e-5)
+    assert np.all(out[250:] == 0.0)
+
+
+def test_vsearch_left_matches_numpy():
+    import numpy as np
+    import jax.numpy as jnp
+    from vings_mono_tpu.ops.rasterizer.binning import _vsearch_left
+
+    rng = np.random.default_rng(0)
+    for n, m, hi in [(1, 5, 3), (7, 16, 4), (1000, 64, 50), (4096, 100, 10)]:
+        a = np.sort(rng.integers(0, hi, n)).astype(np.int32)
+        v = rng.integers(-1, hi + 2, m).astype(np.int32)
+        got = np.asarray(_vsearch_left(jnp.asarray(a), jnp.asarray(v)))
+        np.testing.assert_array_equal(got, np.searchsorted(a, v, "left"))

@@ -101,9 +101,24 @@ class GaussianMapper:
         return tuple(self.bin_kwargs_c.items()) + self._impl_kwargs
 
     def freeze_buckets(self):
-        """Pin both pair-capacity buckets at their current settled values
-        (bench: a bucket switch recompiles and must not land inside the
-        measured section)."""
+        """Pin both pair-capacity buckets (bench: a bucket switch
+        recompiles and must not land inside the measured section). Each
+        cache freezes at the smallest ladder bucket covering the largest
+        pair count it has observed — the hysteresis path may be sitting a
+        bucket too high (e.g. after an early-warmup overflow jump to max),
+        and kernel grid length, gathers and the reduce all scale with
+        p_cap. Callers should run 1-2 more keyframes after freezing so the
+        (possibly re-sized) programs compile outside any measured section.
+        Later overflow keyframes just drop their farthest pairs."""
+        for sfx in ("", "_c"):
+            seen = getattr(self, "_max_npairs" + sfx, None)
+            kw = getattr(self, "bin_kwargs" + sfx)
+            if seen:
+                fits = [b for b in self._bucket_ladder() if b >= seen]
+                want = fits[0] if fits else self._p_cap_max
+                if want != kw["p_cap"]:
+                    setattr(self, "bin_kwargs" + sfx, dict(kw, p_cap=want))
+                    setattr(self, "_binned" + sfx, None)
         self._cap_frozen = True
 
     def _bucket_ladder(self):
@@ -136,6 +151,8 @@ class GaussianMapper:
         n, overflow = int(pulled[0]), bool(pulled[1])
         if sfx == "":
             self._last_npairs = n
+        setattr(self, "_max_npairs" + sfx,
+                max(n, getattr(self, "_max_npairs" + sfx, 0)))
         kw = getattr(self, "bin_kwargs" + sfx)
         cap = kw["p_cap"]
         # Bucket ladder with 1.5x intermediate steps and a hysteresis band:

@@ -33,9 +33,22 @@ def knn_mean_sq_dist(points, valid=None, k=3, chunk=2048):
     vmask = jnp.concatenate([valid, jnp.zeros((Np - N,), bool)]) \
         if Np != N else valid
 
+    # center the cloud first: |q|^2+|p|^2-2qp cancels catastrophically when
+    # |p|^2 >> d2 (f32 abs error ~ |p|^2 * 1e-7 vs pixel-scale d2 ~ 1e-4)
+    ctr = jnp.sum(jnp.where(valid[:, None], points, 0.0), axis=0) \
+        / jnp.clip(jnp.sum(valid), 1)
+    pts = jnp.where(jnp.abs(pts) < 1e5, pts - ctr[None, :], pts)
+    pn = jnp.sum(pts * pts, axis=1)                    # (Np,)
+
     def body(i, out):
         q = jax.lax.dynamic_slice(pts, (i * chunk, 0), (chunk, 3))
-        d2 = jnp.sum((q[:, None, :] - pts[None, :, :]) ** 2, axis=-1)
+        qn = jax.lax.dynamic_slice(pn, (i * chunk,), (chunk,))
+        # |q - p|^2 = |q|^2 + |p|^2 - 2 q.p — the cross term runs on the
+        # MXU; the elementwise (q[:,None]-pts[None])^2 form was ~3x the
+        # device time on the VPU
+        d2 = qn[:, None] + pn[None, :] - 2.0 * jax.lax.dot_general(
+            q, pts, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
         rows = jax.lax.broadcasted_iota(jnp.int32, (chunk, Np), 0) + i * chunk
         cols = jax.lax.broadcasted_iota(jnp.int32, (chunk, Np), 1)
         d2 = jnp.where((rows == cols) | ~vmask[None, :], big, d2)

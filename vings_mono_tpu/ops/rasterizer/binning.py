@@ -69,6 +69,23 @@ def num_tiles(height, width, tile=TILE):
     return ((height + tile - 1) // tile, (width + tile - 1) // tile)
 
 
+def _vsearch_left(a, v):
+    """Vectorized searchsorted(a, v, side='left'): first index where
+    a[i] >= v, for sorted int arrays. jnp.searchsorted lowers to a serial
+    scalar-core loop on TPU (~3 us per query); this runs all queries as
+    lane-parallel bisection — log2(n) vector gathers of |v| elements."""
+    n = a.shape[0]
+    lo = jnp.zeros(v.shape, jnp.int32)
+    hi = jnp.full(v.shape, n, jnp.int32)
+    for _ in range(max(n, 1).bit_length() + 1):
+        mid = (lo + hi) >> 1
+        live = lo < hi
+        pred = (a[jnp.clip(mid, 0, n - 1)] < v) & live
+        lo = jnp.where(pred, mid + 1, lo)
+        hi = jnp.where(pred | ~live, hi, mid)
+    return lo
+
+
 @functools.partial(jax.jit, static_argnames=("height", "width", "p_cap",
                                              "chunk", "side", "tile",
                                              "v_cap", "need_grad"))
@@ -209,10 +226,11 @@ def bin_surfels(proj: ProjectedSurfels, *, height: int, width: int,
     # invalid candidates carry tile id 0xFFF (> T), keeping the array sorted
     s_tile = fit(s_tile, (1 << (32 - RANK_BITS)) - 1)
 
-    # ---- per-tile counts via searchsorted on the SORTED tile ids (the
-    # 589k-add segment_sum this replaces was ~2.3 ms of scatter latency)
-    bounds = jnp.searchsorted(s_tile, jnp.arange(T + 1, dtype=jnp.int32),
-                              side="left").astype(jnp.int32)
+    # ---- per-tile counts via VECTORIZED bisection on the SORTED tile ids
+    # (jnp.searchsorted lowers to a serial scalar-core loop: ~1.2 ms per
+    # camera for 406 queries; the hand-rolled bisection is ~20 gathers of
+    # T+1 elements. The 589k-add segment_sum both replace was ~2.3 ms.)
+    bounds = _vsearch_left(s_tile, jnp.arange(T + 1, dtype=jnp.int32))
     counts = bounds[1:] - bounds[:-1]                          # (T,)
     padded = ((counts + chunk - 1) // chunk) * chunk
     # every tile gets >= 1 chunk so its output block is initialized by the
@@ -247,11 +265,15 @@ def bin_surfels(proj: ProjectedSurfels, *, height: int, width: int,
     pair_valid = slots >= (1 << 22)
     pair_idx = jnp.where(pair_valid, slots & ((1 << 22) - 1), v_cap)
 
-    # ---- chunk metadata via searchsorted on padded chunk boundaries
+    # ---- chunk metadata: rank of each chunk among the (T+1,) padded chunk
+    # boundaries. The boundary array is small, so a fused compare-matrix
+    # reduce beats both jnp.searchsorted (serial scalar loop, ~1.2 ms) and
+    # bisection here.
     chunk_bounds = pad_off // chunk               # (T+1,) monotone
     total_chunks = jnp.minimum(chunk_bounds[-1], c_cap)
     cidx = jnp.arange(c_cap, dtype=jnp.int32)
-    chunk_tile = jnp.searchsorted(chunk_bounds, cidx, side="right") - 1
+    chunk_tile = jnp.sum(chunk_bounds[None, :] <= cidx[:, None],
+                         axis=1).astype(jnp.int32) - 1
     chunk_tile = jnp.clip(chunk_tile, 0, T - 1).astype(jnp.int32)
     chunk_first = (cidx == chunk_bounds[chunk_tile]).astype(jnp.int32)
     # out-of-range chunks: retarget at the last real tile, never "first",
