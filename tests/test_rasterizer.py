@@ -144,3 +144,43 @@ def test_empty_scene_renders_zero(rng):
                chunk=CHUNK, alive=alive)
     np.testing.assert_allclose(np.asarray(r["rgb"]), 0.0, atol=1e-7)
     np.testing.assert_allclose(np.asarray(r["accum"]), 0.0, atol=1e-7)
+
+
+def test_tile_depth_cap_keeps_nearest(rng):
+    """tile_cap keeps the nearest pairs per tile. With saturating opacity
+    the render must be visually unchanged (transmittance is ~0 past the
+    first few splats); uncapped vs generous cap must be bit-identical on
+    a scene that never hits the cap."""
+    params, cam = make_scene(rng)
+    r_uncapped = render(*params, cam, impl="tile", interpret=True,
+                        p_cap=P_CAP, chunk=CHUNK)
+    r_big = render(*params, cam, impl="tile", interpret=True,
+                   p_cap=P_CAP, chunk=CHUNK, tile_cap=4096)
+    np.testing.assert_array_equal(np.asarray(r_uncapped["rgb"]),
+                                  np.asarray(r_big["rgb"]))
+
+    # stack many near-opaque splats on one spot: dropped (farther) pairs
+    # can only contribute through the transmittance REMAINING after the
+    # kept prefix, so the per-pixel error is bounded by 1 - accum_cap —
+    # and saturated pixels must match exactly
+    n = 64
+    z = np.linspace(2.0, 2.1, n).astype(np.float32)
+    xyz = jnp.asarray(np.stack([0.0 * z, 0.0 * z, z], -1))
+    ls = jnp.full((n, 2), np.log(0.4), jnp.float32)
+    quat = jnp.tile(jnp.asarray([1.0, 0, 0, 0]), (n, 1))
+    op = jnp.full((n, 1), 3.0, jnp.float32)         # sigmoid ~ 0.95
+    rgb = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (n, 3)),
+                      jnp.float32)
+    p2 = (xyz, ls, quat, op, rgb)
+    r_all = render(*p2, cam, impl="tile", interpret=True, p_cap=P_CAP,
+                   chunk=16)
+    r_cap = render(*p2, cam, impl="tile", interpret=True, p_cap=P_CAP,
+                   chunk=16, tile_cap=16)
+    diff = np.abs(np.asarray(r_cap["rgb"]) - np.asarray(r_all["rgb"]))
+    t_left = 1.0 - np.asarray(r_cap["accum"])[0]
+    assert np.all(diff <= t_left[None] + 1e-4), float(
+        (diff - t_left[None]).max())
+    sat = np.asarray(r_cap["accum"])[0] > 0.999
+    assert sat.any()
+    np.testing.assert_allclose(np.asarray(r_cap["rgb"])[:, sat],
+                               np.asarray(r_all["rgb"])[:, sat], atol=2e-3)

@@ -112,7 +112,8 @@ def add_frame(state: GaussianState, opt: SparseAdamState, w2c, intr4,
                 state.xyz, state.log_scale, state.quat,
                 state.logit_opacity, state.rgb, camera, alive=state.alive,
                 need_grad=False,
-                **{k: rkw[k] for k in ("p_cap", "chunk", "side", "v_cap")
+                **{k: rkw[k] for k in ("p_cap", "chunk", "side", "v_cap",
+                                       "tile_cap")
                    if k in rkw})
         rets = render(state.xyz, state.log_scale, state.quat,
                       state.logit_opacity, state.rgb, camera,

@@ -48,7 +48,12 @@ class GaussianMapper:
         self.bin_kwargs = {"p_cap": self._p_cap_max,
                            "chunk": int(m["chunk"]),
                            "side": int(m["side"]),
-                           "v_cap": int(m.get("visible_capacity", 0))}
+                           "v_cap": int(m.get("visible_capacity", 0)),
+                           # keep only the tile_depth_cap nearest pairs per
+                           # tile: transmittance saturates (T < 1e-4) long
+                           # before, and sort/gather/reduce cost tracks the
+                           # kept pairs (see binning.py). 0 = uncapped.
+                           "tile_cap": int(m.get("tile_depth_cap", 512))}
         self._impl_kwargs = (("impl", m.get("impl", "tile")),
                              ("interpret", bool(m.get("interpret", False))))
         self.state = empty_state(self.capacity)

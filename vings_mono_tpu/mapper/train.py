@@ -47,9 +47,10 @@ def _select_kf(tree, kf):
 
 
 @functools.partial(jax.jit, static_argnames=("height", "width", "p_cap",
-                                             "chunk", "side", "v_cap"))
+                                             "chunk", "side", "v_cap",
+                                             "tile_cap"))
 def bin_stack(state: GaussianState, batch: KeyframeBatch, intr4, height,
-              width, p_cap=1 << 21, chunk=128, side=5, v_cap=0):
+              width, p_cap=1 << 21, chunk=128, side=5, v_cap=0, tile_cap=0):
     """Bin every keyframe camera in the window. Jitted: an un-jitted
     lax.map re-traces AND re-compiles its body every call (~30 s/window)."""
     def one(w2c):
@@ -57,14 +58,15 @@ def bin_stack(state: GaussianState, batch: KeyframeBatch, intr4, height,
         return bin_for_camera(state.xyz, state.log_scale, state.quat,
                               state.logit_opacity, state.rgb, cam,
                               alive=state.alive, p_cap=p_cap, chunk=chunk,
-                              side=side, v_cap=v_cap)
+                              side=side, v_cap=v_cap, tile_cap=tile_cap)
     return jax.lax.map(one, batch.w2cs)
 
 
 @functools.partial(jax.jit, static_argnames=("height", "width", "p_cap",
-                                             "chunk", "side", "v_cap"))
+                                             "chunk", "side", "v_cap",
+                                             "tile_cap"))
 def bin_rows(state: GaussianState, w2cs_rows, intr4, height, width,
-             p_cap=1 << 21, chunk=128, side=5, v_cap=0):
+             p_cap=1 << 21, chunk=128, side=5, v_cap=0, tile_cap=0):
     """Bin a (small, static) subset of window cameras — the incremental
     half of the round-robin binning cache (full re-bin of all K cameras
     every keyframe was the single largest mapper cost on-chip)."""
@@ -73,7 +75,7 @@ def bin_rows(state: GaussianState, w2cs_rows, intr4, height, width,
         return bin_for_camera(state.xyz, state.log_scale, state.quat,
                               state.logit_opacity, state.rgb, cam,
                               alive=state.alive, p_cap=p_cap, chunk=chunk,
-                              side=side, v_cap=v_cap)
+                              side=side, v_cap=v_cap, tile_cap=tile_cap)
     return jax.lax.map(one, w2cs_rows)
 
 

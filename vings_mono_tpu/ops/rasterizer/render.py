@@ -156,8 +156,8 @@ def render(xyz, log_scale, quat, logit_opacity, rgb, camera: Camera, *,
            alive=None, flow=None, score_carrier=None,
            binned: Optional[BinnedScene] = None,
            p_cap: int = 1 << 21, chunk: int = 128, side: int = 5,
-           v_cap: int = 0, impl: str = "tile", interpret=False,
-           grad_reduce: str = "bf16"):
+           v_cap: int = 0, tile_cap: int = 0, impl: str = "tile",
+           interpret=False, grad_reduce: str = "bf16"):
     """Full differentiable render from raw Gaussian parameters.
 
     `binned` may be passed in to reuse a cached binning across training
@@ -189,7 +189,7 @@ def render(xyz, log_scale, quat, logit_opacity, rgb, camera: Camera, *,
         binned = bin_surfels(jax.tree.map(jax.lax.stop_gradient, proj),
                              height=camera.height, width=camera.width,
                              p_cap=p_cap, chunk=chunk, side=side,
-                             v_cap=v_cap)
+                             v_cap=v_cap, tile_cap=tile_cap)
     if grad_reduce == "f32" and binned.grad_tbl is not None:
         binned = binned._replace(grad_tbl=None)
     ch = rasterize_binned(proj.packed, score_carrier, binned, camera,
@@ -199,7 +199,7 @@ def render(xyz, log_scale, quat, logit_opacity, rgb, camera: Camera, *,
 
 def bin_for_camera(xyz, log_scale, quat, logit_opacity, rgb, camera: Camera,
                    *, alive=None, p_cap: int = 1 << 21, chunk: int = 128,
-                   side: int = 5, v_cap: int = 0,
+                   side: int = 5, v_cap: int = 0, tile_cap: int = 0,
                    need_grad: bool = True) -> BinnedScene:
     """Compute a cacheable binning for `camera` at the current parameters.
 
@@ -210,4 +210,4 @@ def bin_for_camera(xyz, log_scale, quat, logit_opacity, rgb, camera: Camera,
     proj = jax.tree.map(jax.lax.stop_gradient, proj)
     return bin_surfels(proj, height=camera.height, width=camera.width,
                        p_cap=p_cap, chunk=chunk, side=side, v_cap=v_cap,
-                       need_grad=need_grad)
+                       tile_cap=tile_cap, need_grad=need_grad)
