@@ -46,7 +46,7 @@ def main():
         "training_args": {"iters": 50, "num_keyframe": 5,
                           "coarse_frac": 0.5},
         "mapper": {"capacity": 1 << 18, "pair_capacity": 1 << 18,
-                   "chunk": 128, "side": 3, "visible_capacity": 1 << 16,
+                   "chunk": 256, "side": 3, "visible_capacity": 1 << 16,
                    "kf_capacity": 8, "adaptive_iters": 23.0,
                    "points_per_frame": 20000, "points_first_frame": 30000},
     })

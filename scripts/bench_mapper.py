@@ -71,7 +71,9 @@ binned = timeit("bin_stack(8 kf)", lambda: bin_stack(
     mapper.state, batch, intr4, H, W, **mapper.bin_kwargs))
 
 timeit("add_frame", lambda: add_frame(
-    mapper.state, mapper.opt, batch.w2cs[2], intr4, batch.images[2],
+    jax.tree.map(jnp.array, mapper.state),       # add_frame donates (0, 1)
+    jax.tree.map(jnp.array, mapper.opt),
+    batch.w2cs[2], intr4, batch.images[2],
     batch.depths[2], key, batch.global_kf_id[2], height=H, width=W,
     n_points=20000, first=False, render_kwargs=mapper.render_kwargs), n=2)
 
@@ -87,5 +89,6 @@ for iters in [1, 10, 50]:
     timeit(f"train_loop iters={iters}", run_train, n=2)
 
 timeit("storage_control", lambda: storage_control(
-    mapper.state, batch, binned, intr4, height=H, width=W,
+    jax.tree.map(jnp.array, mapper.state),       # donates (0,)
+    batch, binned, intr4, height=H, width=W,
     render_kwargs=mapper.render_kwargs), n=2)

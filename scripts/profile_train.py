@@ -29,7 +29,7 @@ H = int(os.environ.get("PT_H", 240)); W = int(os.environ.get("PT_W", 432))
 cfg = load_config(overrides={
     "training_args": {"iters": ITERS, "num_keyframe": 5},
     "mapper": {"capacity": 1 << 18, "pair_capacity": int(os.environ.get("PT_PCAP", 1 << 18)),
-               "chunk": 128, "side": 3, "visible_capacity": 1 << 16,
+               "chunk": int(os.environ.get("PT_CHUNK", 128)), "side": 3, "visible_capacity": 1 << 16,
                "kf_capacity": 8,
                "points_per_frame": 20000, "points_first_frame": 30000},
 })

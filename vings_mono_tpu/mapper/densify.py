@@ -85,7 +85,8 @@ def dead_slots(state: GaussianState, n: int):
 
 
 @functools.partial(jax.jit, static_argnames=("n_points", "first", "height",
-                                             "width", "render_kwargs"))
+                                             "width", "render_kwargs"),
+                   donate_argnums=(0, 1))
 def add_frame(state: GaussianState, opt: SparseAdamState, w2c, intr4,
               gt_rgb, gt_depth, key, global_kf_id, *, height: int,
               width: int, n_points=40000, first=False, opacity=0.8,

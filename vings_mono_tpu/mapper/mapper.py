@@ -83,9 +83,15 @@ class GaussianMapper:
         # pairs/tiles at half res are ~1/3 of full res.
         self.coarse_frac = float(
             cfg["training_args"].get("coarse_frac", 0.0))
-        self.bin_kwargs_c = dict(self.bin_kwargs,
-                                 p_cap=max(self._p_cap_min,
-                                           self._p_cap_max // 2))
+        vc = int(m.get("visible_capacity", 0))
+        self.bin_kwargs_c = dict(
+            self.bin_kwargs,
+            p_cap=max(self._p_cap_min, self._p_cap_max // 2),
+            # the half-res phase has 1/4 the pixels; compacting to half the
+            # nearest visible Gaussians halves its sort/gather/reduce cost,
+            # and the fine phase still trains the full visible set
+            v_cap=int(m.get("visible_capacity_coarse",
+                            vc // 2 if vc else 0)))
         self._binned_c = None
         self._cached_gids_c = None
         self._bin_age_c = None

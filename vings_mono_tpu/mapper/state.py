@@ -123,20 +123,27 @@ def write_rows(state: GaussianState, opt: SparseAdamState, slots,
     (dropped)."""
     cap = state.capacity
     idx = jnp.where(valid_new, slots, cap)
+    # ONE boolean mark scatter + elementwise selects for every constant-fill
+    # field: row scatters into the (N, C) state arrays serialize at
+    # ~75 ns/row (~1.5 ms each at 20k inserts), and 16 of the 21 scatters
+    # here only wrote constants — an elementwise pass over the mark is
+    # ~0.03 ms. Only the 5 real param-value scatters remain.
+    mark = jnp.zeros((cap,), bool).at[idx].set(True, mode="drop")
+    mark1 = mark[:, None]
     upd = {}
     for k in PARAM_FIELDS:
         upd[k] = getattr(state, k).at[idx].set(new_params[k], mode="drop")
-    upd["alive"] = state.alive.at[idx].set(True, mode="drop")
-    upd["stable"] = state.stable.at[idx].set(False, mode="drop")
-    upd["local_scores"] = state.local_scores.at[idx].set(0.0, mode="drop")
-    upd["global_scores"] = state.global_scores.at[idx].set(0.0, mode="drop")
-    upd["globalkf_id"] = state.globalkf_id.at[idx].set(
-        jnp.asarray(globalkf_id, jnp.int32), mode="drop")
-    upd["globalkf_max_scores"] = state.globalkf_max_scores.at[idx].set(
-        0.0, mode="drop")
+    upd["alive"] = state.alive | mark
+    upd["stable"] = state.stable & ~mark
+    upd["local_scores"] = jnp.where(mark1, 0.0, state.local_scores)
+    upd["global_scores"] = jnp.where(mark1, 0.0, state.global_scores)
+    upd["globalkf_id"] = jnp.where(
+        mark, jnp.asarray(globalkf_id, jnp.int32), state.globalkf_id)
+    upd["globalkf_max_scores"] = jnp.where(mark, 0.0,
+                                           state.globalkf_max_scores)
     state = state.replace(**upd)
-    m = {k: opt.m[k].at[idx].set(0.0, mode="drop") for k in PARAM_FIELDS}
-    v = {k: opt.v[k].at[idx].set(0.0, mode="drop") for k in PARAM_FIELDS}
+    m = {k: jnp.where(mark1, 0.0, opt.m[k]) for k in PARAM_FIELDS}
+    v = {k: jnp.where(mark1, 0.0, opt.v[k]) for k in PARAM_FIELDS}
     return state, SparseAdamState(m=m, v=v, step=opt.step)
 
 

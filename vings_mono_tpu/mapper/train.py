@@ -226,7 +226,7 @@ def train_loop(state: GaussianState, opt: SparseAdamState,
     return state, opt, sky_state, sky_opt, metrics
 
 
-@jax.jit
+@functools.partial(jax.jit, donate_argnums=(0,))
 def stablemask_control(state: GaussianState):
     """Unstable->stable when untouched this round; stable->unstable when the
     error score spikes; reset local scores (gaussian_model.py:187-200)."""
@@ -241,7 +241,8 @@ def stablemask_control(state: GaussianState):
 
 
 @functools.partial(jax.jit, static_argnames=("height", "width",
-                                             "render_kwargs"))
+                                             "render_kwargs"),
+                   donate_argnums=(0,))
 def storage_control(state: GaussianState, batch: KeyframeBatch, binned_stack,
                     intr4, *, height: int, width: int, render_kwargs=()):
     """Every few keyframes: re-render the window, accumulate plain-L1

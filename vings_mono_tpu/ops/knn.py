@@ -52,11 +52,13 @@ def knn_mean_sq_dist(points, valid=None, k=3, chunk=2048):
         rows = jax.lax.broadcasted_iota(jnp.int32, (chunk, Np), 0) + i * chunk
         cols = jax.lax.broadcasted_iota(jnp.int32, (chunk, Np), 1)
         d2 = jnp.where((rows == cols) | ~vmask[None, :], big, d2)
-        acc = jnp.zeros((chunk,), jnp.float32)
-        for _ in range(k):  # k smallest via iterative min extraction
-            m = jnp.min(d2, axis=1)
-            acc = acc + jnp.minimum(m, big)
-            d2 = jnp.where(d2 <= m[:, None], big, d2)
+        # TPU-native approximate top-k: one pass over the (chunk, Np)
+        # distance block instead of k full min-extraction rewrites (the
+        # block is ~170 MB at bench scale — this is bandwidth, not FLOPs).
+        # recall_target 0.95 on 3-NN mean distance only perturbs the scale
+        # INIT of new Gaussians, which training re-fits immediately.
+        neg, _ = jax.lax.approx_max_k(-d2, k, recall_target=0.95)
+        acc = jnp.sum(jnp.minimum(-neg, big), axis=1)
         return jax.lax.dynamic_update_slice(out, acc / k, (i * chunk,))
 
     out = jax.lax.fori_loop(0, n_chunks, body, jnp.zeros((Np,), jnp.float32))
