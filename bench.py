@@ -100,6 +100,7 @@ def main():
             np.asarray(vz["viz_out_idx_to_f_idx"]) + 1000.0
         mapper._metrics_dev = dict(mapper._metrics_dev,
                                    psnr=jnp.asarray(99.0))
+        mapper._last_psnr_host = 99.0
         mapper.run(vz)
         jax.block_until_ready(mapper.state.xyz)
 

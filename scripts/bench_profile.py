@@ -29,7 +29,7 @@ cfg = load_config(overrides={
     },
     "training_args": {"iters": 50, "num_keyframe": 5, "coarse_frac": 0.5},
     "mapper": {"capacity": 1 << 18, "pair_capacity": 1 << 18,
-               "chunk": 128, "side": 3, "visible_capacity": 1 << 16,
+               "chunk": 256, "side": 3, "visible_capacity": 1 << 16,
                "kf_capacity": 8,
                "points_per_frame": 20000, "points_first_frame": 30000},
 })
@@ -125,6 +125,17 @@ def timed_storage(*a, **k):
         return r
 
 
+orig_pack = mm.GaussianMapper._pack_batch
+
+
+def timed_pack(self, viz_out):
+    with sub("map.pack_batch"):
+        r = orig_pack(self, viz_out)
+        jax.block_until_ready(r.images)
+        return r
+
+
+mm.GaussianMapper._pack_batch = timed_pack
 mm.GaussianMapper._refresh_binned = timed_refresh
 mm.train_loop = timed_train
 mm.add_frame = timed_addf

@@ -399,13 +399,13 @@ class GaussianMapper:
 
         iters = int(ta["iters"])
         adaptive = self.cfg["mapper"].get("adaptive_iters")
-        if adaptive and self._metrics_dev is not None:
+        if adaptive and getattr(self, "_last_psnr_host", None) is not None:
             # converged windows need fewer refinement iterations — halve
             # the budget once the window PSNR clears the bar (two compiled
-            # variants; VERDICT r1 next-step 1b). The PSNR host pull rides
-            # the same sync as the pair-count pull below.
-            last_psnr = float(jax.device_get(self._metrics_dev["psnr"]))
-            if last_psnr > float(adaptive):
+            # variants; VERDICT r1 next-step 1b). The PSNR host value was
+            # pulled in the PREVIOUS keyframe's batched end-of-run sync —
+            # a dedicated device_get here cost a ~30 ms tunnel round trip.
+            if self._last_psnr_host > float(adaptive):
                 iters = max(iters // 2, 10)
 
         lrs = self._lrs(ta)
@@ -485,14 +485,21 @@ class GaussianMapper:
             self.state, _ = storage_control(
                 self.state, batch, binned, intr4, height=self.H,
                 width=self.W, render_kwargs=self.render_kwargs)
+        psnr_dev = metrics["psnr"]
         if binned_c is not None:
             pulled = jax.device_get(
                 (jnp.max(binned.n_pairs), jnp.any(binned.overflow),
-                 jnp.max(binned_c.n_pairs), jnp.any(binned_c.overflow)))
+                 jnp.max(binned_c.n_pairs), jnp.any(binned_c.overflow),
+                 psnr_dev))
             self._tune_pair_capacity(binned, pulled=pulled[:2])
-            self._tune_pair_capacity(binned_c, sfx="_c", pulled=pulled[2:])
+            self._tune_pair_capacity(binned_c, sfx="_c", pulled=pulled[2:4])
+            self._last_psnr_host = float(pulled[4])
         else:
-            self._tune_pair_capacity(binned)
+            pulled = jax.device_get(
+                (jnp.max(binned.n_pairs), jnp.any(binned.overflow),
+                 psnr_dev))
+            self._tune_pair_capacity(binned, pulled=pulled[:2])
+            self._last_psnr_host = float(pulled[2])
 
     @staticmethod
     def _lrs(ta):

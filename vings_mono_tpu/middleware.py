@@ -183,6 +183,9 @@ def judge_and_package(tracker, cfg=None):
         "intrinsic": intrinsic,
         "pixel_mask": mask,
         "global_kf_id": jnp.asarray(global_kf_id, jnp.int32),
+        # host copy: _pack_batch needs these on host, and a per-keyframe
+        # device_get costs a ~30 ms blocking tunnel round trip
+        "global_kf_id_host": global_kf_id,
         "valid_localkf_id": valid_localkf,
         "n_valid": K,
     }
