@@ -36,8 +36,8 @@ def main():
             "buffer": 48, "warm_up": 8, "filter_thresh": -1.0,
             "keyframe_thresh": 0.0, "frontend_thresh": 1e9,
             "frontend_window": 12, "frontend_radius": 2, "frontend_nms": 1,
-            "max_factors": 48, "edge_capacity": 64,
-            "inactive_capacity": 128, "ba_window": 16,
+            "max_factors": 48, "edge_capacity": 48,
+            "inactive_capacity": 64, "ba_window": 16,
             "iters1": 2, "iters2": 1, "active_window": 12, "max_age": 12,
             # first rollup must fire during the throwaway pass (compiles
             # there), after which rollups are steady-state measured work

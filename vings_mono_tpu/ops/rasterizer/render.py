@@ -29,7 +29,8 @@ import jax.numpy as jnp
 
 from .projection import Camera, ProjectedSurfels, project_surfels, PK_PAD
 from .binning import BinnedScene, bin_surfels, num_tiles, TILE
-from .tile_kernel import rasterize_pairs, CH_PAD, PIX
+from .tile_kernel import (rasterize_forward, rasterize_backward, CH_PAD,
+                          PIX)
 from . import naive as naive_mod
 
 
@@ -42,69 +43,89 @@ def _unpack_tiles(out_tiles, height, width):
     return x[:, :height, :width]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=())
-def _take_rows(packed, score_carrier, sel, pair_idx, grad_tbl):
-    """Row gather pairs <- gaussians, in TWO hops through the depth-compacted
-    (V_CAP + 1, 24) table: `compact = packed[sel]` then `compact[pair_idx]`.
-    A random row gather from a (N, 24) f32 table reads one (8,128) tile
-    (4 KB) per 96-byte row, so the one-hop gather ran at ~9 GB/s effective;
-    the compact table is small enough for XLA to keep in VMEM across the
-    training loop (the barrier stops XLA from re-fusing the two hops into
-    one big-table gather). Invalid pair slots index the appended all-zeros
-    row V_CAP, so there is no per-pair validity multiply in either
-    direction (two (P,24) materializations saved per iteration).
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
+def _gather_rasterize(packed, score_carrier, sel, pair_idx, grad_tbl,
+                      chunk_tile, chunk_first, meta, num_tiles, interpret):
+    """Pair gather + tile rasterization under ONE custom VJP.
 
-    The VJP reduces pair grads -> compact rows. With `grad_tbl` (the
-    binning's (V_CAP, K) inverse pair map) it runs as a bf16 GATHER from
-    the (P+1, 24) pair-grad table + a sum over the <= K = side^2 pairs per
-    row: TPU row-gathers pipeline (~2 ns/row VMEM-resident) while the
-    scatter-add a segment_sum lowers to serializes read-modify-write
-    (~13 ns/row; measured 3.4 ms vs ~1.3 ms per iteration at bench scale).
-    The bf16 rounding of pair grads (~2e-3 relative) is inside Adam's
-    noise floor. grad_tbl=None falls back to the f32 segment_sum.
-    The result expands back through `sel` (unique rows — a permutation
-    prefix — so the set-scatter is exact).
+    Forward: row-gather pairs <- gaussians in TWO hops through the
+    depth-compacted (V_CAP + 1, 24) table (`compact = packed[sel]`, then
+    `compact[pair_idx]`). A random row gather from the (N, 24) f32 table
+    reads one (8,128) tile (4 KB) per 96-byte row; the compact table is
+    small enough for XLA to keep in VMEM across the training loop (the
+    barrier stops XLA from re-fusing the two hops into one big-table
+    gather). Invalid pair slots index the appended all-zeros row V_CAP, so
+    there is no per-pair validity multiply in either direction.
 
-    score_carrier (N, 2) is all-zeros by contract (see rasterize_pairs):
-    it contributes nothing forward, but its cotangent returns the per-
-    Gaussian (importance, error) scores from the kernel's carrier columns
-    without materializing a separate (N, 24) extended payload."""
+    Backward: the Pallas kernel emits per-pair grads in BF16 (the f32
+    (GR_PAD, P) write plus its transpose and cast cost ~0.5 ms/iter of
+    pure lane-padded HBM traffic), and the pair->Gaussian reduction runs
+    as K unrolled 2D gathers through `grad_tbl` (the binning's (V_CAP, K)
+    inverse pair map) + an f32 add chain: row-gathers from a VMEM-resident
+    table pipeline at ~2 ns/row while the scatter-add a segment_sum lowers
+    to serializes read-modify-write at ~13 ns/row (3.4 -> ~1.1 ms/iter at
+    bench scale). A single 3D `gp[grad_tbl]` gather was tried and lost the
+    win to (V, K, C) tile padding. bf16 rounding of pair grads (~2e-3
+    relative) is inside Adam's noise floor; grad_tbl=None selects the
+    exact f32 segment-sum fallback (render(grad_reduce='f32')). The
+    result expands back through `sel` (unique rows — a permutation prefix
+    — so the set-scatter is exact).
+
+    score_carrier (N, 2) is all-zeros by contract: it contributes nothing
+    forward, but its cotangent returns the per-Gaussian (importance,
+    error) scores from the kernel's carrier columns (reference
+    `_zeros.grad`, gaussian_base.py:71,392) without materializing a
+    separate (N, 24) extended payload."""
     del score_carrier, grad_tbl
     compact = jax.lax.optimization_barrier(
         jnp.concatenate([packed[sel],
                          jnp.zeros((1, packed.shape[1]), packed.dtype)]))
-    return compact[pair_idx]
+    pair_data = compact[pair_idx].T
+    return rasterize_forward(pair_data, chunk_tile, chunk_first, meta,
+                             num_tiles, interpret=interpret)
 
 
-def _take_rows_fwd(packed, score_carrier, sel, pair_idx, grad_tbl):
-    out = _take_rows(packed, score_carrier, sel, pair_idx, grad_tbl)
-    return out, (packed.shape[0], sel, pair_idx, grad_tbl)
+def _gather_rasterize_fwd(packed, score_carrier, sel, pair_idx, grad_tbl,
+                          chunk_tile, chunk_first, meta, num_tiles,
+                          interpret):
+    del score_carrier
+    compact = jax.lax.optimization_barrier(
+        jnp.concatenate([packed[sel],
+                         jnp.zeros((1, packed.shape[1]), packed.dtype)]))
+    pair_data = compact[pair_idx].T
+    out = rasterize_forward(pair_data, chunk_tile, chunk_first, meta,
+                            num_tiles, interpret=interpret)
+    return out, (packed.shape[0], sel, pair_idx, grad_tbl, pair_data, out,
+                 chunk_tile, chunk_first, meta)
 
 
-def _take_rows_bwd(res, g):
-    n, sel, pair_idx, grad_tbl = res
-    if grad_tbl is None:
-        seg = jax.ops.segment_sum(
-            g, pair_idx, num_segments=sel.shape[0] + 1)[:-1]   # (V, C)
-    else:
+def _gather_rasterize_bwd(num_tiles, interpret, res, g_out):
+    (n, sel, pair_idx, grad_tbl, pair_data, out_saved, chunk_tile,
+     chunk_first, meta) = res
+    bf16 = grad_tbl is not None
+    grads = rasterize_backward(
+        pair_data, chunk_tile, chunk_first, meta, out_saved, g_out,
+        interpret=interpret,
+        out_dtype=jnp.bfloat16 if bf16 else jnp.float32)   # (GR_PAD, P)
+    g = grads.T                                            # (P, GR_PAD)
+    if bf16:
         gp = jnp.concatenate([g, jnp.zeros((1, g.shape[1]), g.dtype)])
-        gp = gp.astype(jnp.bfloat16)
-        # K unrolled 2D gathers + an f32 add chain: a single 3D
-        # `gp[grad_tbl]` materializes a (V, K, C) tensor whose tiled
-        # layout pads K->16 and C->128 (hundreds of MB of HBM traffic —
-        # slower than the scatter it replaced)
         seg = gp[grad_tbl[:, 0]].astype(jnp.float32)
         for k in range(1, grad_tbl.shape[1]):
             seg = seg + gp[grad_tbl[:, k]].astype(jnp.float32)
-    full = jnp.zeros((n, g.shape[1]), g.dtype).at[sel].set(seg)
+    else:
+        seg = jax.ops.segment_sum(
+            g, pair_idx, num_segments=sel.shape[0] + 1)[:-1]  # (V, C)
+    full = jnp.zeros((n, g.shape[1]), jnp.float32).at[sel].set(seg)
     # the carrier's cotangent is the score columns; projection's VJP never
     # reads packed cols 21:23, so `full` can be returned for both without
-    # zeroing them
+    # zeroing them (the kernel writes zeros in pad column 23)
     from .tile_kernel import GR_SCORE_IMP, GR_SCORE_ERR
-    return full, full[:, GR_SCORE_IMP:GR_SCORE_ERR + 1], None, None, None
+    return (full, full[:, GR_SCORE_IMP:GR_SCORE_ERR + 1], None, None, None,
+            None, None, None)
 
 
-_take_rows.defvjp(_take_rows_fwd, _take_rows_bwd)
+_gather_rasterize.defvjp(_gather_rasterize_fwd, _gather_rasterize_bwd)
 
 
 def rasterize_binned(packed, score_carrier, binned: BinnedScene,
@@ -113,16 +134,15 @@ def rasterize_binned(packed, score_carrier, binned: BinnedScene,
 
     The (N, 2) score carrier rides the payload's pad columns (which are
     zero, like the carrier) so pairs are gathered (and their grads
-    segment-reduced) in ONE (N, 24) pass — profiling showed the separate
-    score gather costing as much as the payload gather."""
-    pair_data = _take_rows(packed, score_carrier, binned.sel,
-                           binned.pair_idx, binned.grad_tbl).T
+    reduced) in ONE (N, 24) pass — profiling showed the separate score
+    gather costing as much as the payload gather."""
     nty, ntx = num_tiles(camera.height, camera.width)
     meta = jnp.asarray([camera.fx, camera.fy, camera.cx, camera.cy,
                         jnp.float32(ntx), 0.0, 0.0, 0.0], jnp.float32)
-    out_tiles = rasterize_pairs(pair_data, binned.chunk_tile,
-                                binned.chunk_first, meta, nty * ntx,
-                                interpret)
+    out_tiles = _gather_rasterize(packed, score_carrier, binned.sel,
+                                  binned.pair_idx, binned.grad_tbl,
+                                  binned.chunk_tile, binned.chunk_first,
+                                  meta, nty * ntx, interpret)
     return _unpack_tiles(out_tiles, camera.height, camera.width)
 
 

@@ -389,7 +389,7 @@ def _bwd_chunk_body(tile_id, ntx, cam, pair_ref, g, g_depth, g_wm, g_wm2,
         jnp.zeros((G, 1), jnp.float32),
     ], axis=1)                                          # (G, GR_PAD)
 
-    grad_ref[:, :] = gradsT.T
+    grad_ref[:, :] = gradsT.T.astype(grad_ref.dtype)
 
     carry[0, :] = carry[0, :] * T_prod[0]
     # NB: prefix[-1, :] would lower to (unsupported) dynamic_slice in Mosaic
@@ -397,7 +397,10 @@ def _bwd_chunk_body(tile_id, ntx, cam, pair_ref, g, g_depth, g_wm, g_wm2,
 
 
 def rasterize_backward(pair_data, chunk_tile, chunk_first, meta, out_saved,
-                       g_out, interpret=False):
+                       g_out, interpret=False, out_dtype=jnp.float32):
+    """out_dtype=bfloat16 halves the (GR_PAD, P_CAP) grad write and lets
+    the caller's gather-reduce stay bf16 end-to-end (pair-grad rounding
+    ~2e-3 relative); the per-pair math inside stays f32."""
     p_cap = pair_data.shape[1]
     c_cap = chunk_tile.shape[0]
     chunk = p_cap // c_cap
@@ -420,7 +423,7 @@ def rasterize_backward(pair_data, chunk_tile, chunk_first, meta, out_saved,
     return pl.pallas_call(
         _bwd_kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((GR_PAD, p_cap), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((GR_PAD, p_cap), out_dtype),
         interpret=interpret,
     )(chunk_tile, chunk_first, meta, pair_data, out_saved, g_out)
 
