@@ -140,8 +140,10 @@ def test_pair_capacity_bucket_hysteresis():
     assert m._p_cap_min == 1 << 14
 
     def binned(n, ovf=False):
+        # the tuner sizes on the padded slot demand (== n here)
         return types.SimpleNamespace(
             n_pairs=jnp.asarray([n], jnp.int32),
+            n_padded=jnp.asarray([n], jnp.int32),
             overflow=jnp.asarray([ovf]))
 
     # small counts: needs 3 consecutive votes to shrink

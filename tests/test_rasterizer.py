@@ -184,3 +184,21 @@ def test_tile_depth_cap_keeps_nearest(rng):
     assert sat.any()
     np.testing.assert_allclose(np.asarray(r_cap["rgb"])[:, sat],
                                np.asarray(r_all["rgb"])[:, sat], atol=2e-3)
+
+
+def test_padded_demand_flags_overflow(rng):
+    """Pair slots are laid out padded per tile; when pad_off[T] exceeds
+    p_cap the trailing tiles drop pairs — that MUST raise the overflow
+    flag (and n_padded reports the real demand) so the capacity tuner
+    grows the bucket, even when the raw pair count fits."""
+    params, cam = make_scene(rng)
+    proj = project_surfels(*params, cam)
+    big = bin_surfels(proj, height=H, width=W, p_cap=P_CAP, chunk=CHUNK)
+    n_pairs = int(big.n_pairs)
+    assert int(big.n_padded) >= n_pairs
+    # pick a cap between the raw count and the padded demand: 4 tiles pad
+    # to >= 4 chunks, so padding alone can exceed a tight cap
+    tight = max(((n_pairs + CHUNK) // CHUNK) * CHUNK, CHUNK)
+    if tight < int(big.n_padded):
+        b = bin_surfels(proj, height=H, width=W, p_cap=tight, chunk=CHUNK)
+        assert bool(b.overflow)

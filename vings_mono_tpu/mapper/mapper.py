@@ -152,12 +152,16 @@ class GaussianMapper:
 
     def _tune_pair_capacity(self, binned, sfx="", pulled=None):
         """Pick next keyframe's pair-capacity bucket from this keyframe's
-        observed pair count. `pulled` lets run() batch the full+coarse
-        d2h pulls into ONE sync (each is 5-40 ms through the tunnel)."""
+        observed PADDED pair-slot demand (binning lays each tile's run
+        out padded to a chunk multiple, so pad_off[T] is what a bucket
+        must cover — sizing on the raw pair count silently dropped the
+        trailing tiles' pairs via the dest clamp). `pulled` lets run()
+        batch the full+coarse d2h pulls into ONE sync (each is 5-40 ms
+        through the tunnel)."""
         if getattr(self, "_cap_frozen", False):
             return
         if pulled is None:
-            pulled = jax.device_get((jnp.max(binned.n_pairs),
+            pulled = jax.device_get((jnp.max(binned.n_padded),
                                      jnp.any(binned.overflow)))
         n, overflow = int(pulled[0]), bool(pulled[1])
         if sfx == "":
@@ -488,15 +492,15 @@ class GaussianMapper:
         psnr_dev = metrics["psnr"]
         if binned_c is not None:
             pulled = jax.device_get(
-                (jnp.max(binned.n_pairs), jnp.any(binned.overflow),
-                 jnp.max(binned_c.n_pairs), jnp.any(binned_c.overflow),
+                (jnp.max(binned.n_padded), jnp.any(binned.overflow),
+                 jnp.max(binned_c.n_padded), jnp.any(binned_c.overflow),
                  psnr_dev))
             self._tune_pair_capacity(binned, pulled=pulled[:2])
             self._tune_pair_capacity(binned_c, sfx="_c", pulled=pulled[2:4])
             self._last_psnr_host = float(pulled[4])
         else:
             pulled = jax.device_get(
-                (jnp.max(binned.n_pairs), jnp.any(binned.overflow),
+                (jnp.max(binned.n_padded), jnp.any(binned.overflow),
                  psnr_dev))
             self._tune_pair_capacity(binned, pulled=pulled[:2])
             self._last_psnr_host = float(pulled[2])

@@ -63,6 +63,9 @@ class BinnedScene(NamedTuple):
     # scatter-adds serialize read-modify-write (~13 ns/row). None when the
     # binning was built with need_grad=False.
     grad_tbl: jnp.ndarray = None  # (V_CAP, K) int32
+    # padded pair-slot demand (pad_off[T]): the capacity a bucket must
+    # cover, >= n_pairs because each tile's run pads to a chunk multiple
+    n_padded: jnp.ndarray = None  # () int32
 
 
 def num_tiles(height, width, tile=TILE):
@@ -313,7 +316,15 @@ def bin_surfels(proj: ProjectedSurfels, *, height: int, width: int,
             dest, mode="drop").reshape(v_cap, K)
     n_kept = jnp.sum(counts) if tile_cap > 0 else jnp.minimum(n_total,
                                                               p_cap)
+    # pair slots are laid out PADDED (each tile's run padded to a chunk
+    # multiple), so capacity demand is pad_off[T], not the raw pair count —
+    # when it exceeds p_cap the dest clamp silently drops the trailing
+    # tiles' pairs. Report it so the capacity tuner sizes buckets on the
+    # real demand, and flag overflow either way.
+    n_padded = pad_off[T]
+    overflow = overflow | (n_padded > p_cap)
     return BinnedScene(pair_idx=pair_idx, pair_valid=pair_valid, sel=sel,
                        chunk_tile=chunk_tile, chunk_first=chunk_first,
                        n_chunks=total_chunks.astype(jnp.int32),
-                       n_pairs=n_kept, overflow=overflow, grad_tbl=grad_tbl)
+                       n_pairs=n_kept, overflow=overflow,
+                       grad_tbl=grad_tbl, n_padded=n_padded)
