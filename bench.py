@@ -100,6 +100,11 @@ def main():
             np.asarray(vz["viz_out_idx_to_f_idx"]) + 1000.0
         mapper._metrics_dev = dict(mapper._metrics_dev,
                                    psnr=jnp.asarray(99.0))
+        # run() drains the deferred stats pull before the adaptive-iters
+        # decision — drop it so the forced PSNR=99 survives and the halved
+        # train_loop variant actually compiles here
+        mapper._drain_stats()
+        mapper._pending_stats = None
         mapper._last_psnr_host = 99.0
         mapper.run(vz)
         jax.block_until_ready(mapper.state.xyz)

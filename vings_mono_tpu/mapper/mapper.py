@@ -29,6 +29,17 @@ def _intr4(intr: dict):
                        jnp.float32)
 
 
+@jax.jit
+def _stats_full(n_padded, overflow, psnr):
+    return jnp.max(n_padded), jnp.any(overflow), psnr
+
+
+@jax.jit
+def _stats_coarse(n_padded, overflow, n_padded_c, overflow_c, psnr):
+    return (jnp.max(n_padded), jnp.any(overflow),
+            jnp.max(n_padded_c), jnp.any(overflow_c), psnr)
+
+
 class GaussianMapper:
     def __init__(self, cfg):
         self.cfg = cfg
@@ -111,6 +122,23 @@ class GaussianMapper:
     def render_kwargs_c(self):
         return tuple(self.bin_kwargs_c.items()) + self._impl_kwargs
 
+    def _drain_stats(self):
+        """Materialize the previous keyframe's end-of-run stats (pair-slot
+        demand, overflow, PSNR). run() defers this pull by one keyframe so
+        the mapper thread never blocks on the device tunnel between
+        keyframes (~30-40 ms each); bucket tuning therefore reacts one
+        keyframe later, which only delays a grow/shrink by one step."""
+        ps = getattr(self, "_pending_stats", None)
+        if ps is None:
+            return
+        self._pending_stats = None
+        stats, had_c = ps
+        pulled = jax.device_get(stats)
+        self._tune_pair_capacity(None, pulled=pulled[:2])
+        if had_c:
+            self._tune_pair_capacity(None, sfx="_c", pulled=pulled[2:4])
+        self._last_psnr_host = float(pulled[-1])
+
     def freeze_buckets(self):
         """Pin both pair-capacity buckets (bench: a bucket switch
         recompiles and must not land inside the measured section). Each
@@ -121,6 +149,7 @@ class GaussianMapper:
         p_cap. Callers should run 1-2 more keyframes after freezing so the
         (possibly re-sized) programs compile outside any measured section.
         Later overflow keyframes just drop their farthest pairs."""
+        self._drain_stats()
         for sfx in ("", "_c"):
             seen = getattr(self, "_max_npairs" + sfx, None)
             kw = getattr(self, "bin_kwargs" + sfx)
@@ -403,11 +432,15 @@ class GaussianMapper:
 
         iters = int(ta["iters"])
         adaptive = self.cfg["mapper"].get("adaptive_iters")
+        # the previous keyframe's deferred stats (PSNR + bucket demand) are
+        # drained HERE — after this keyframe's add_frame/binning enqueues —
+        # so the device pipeline stays fed while the host blocks
+        self._drain_stats()
         if adaptive and getattr(self, "_last_psnr_host", None) is not None:
             # converged windows need fewer refinement iterations — halve
             # the budget once the window PSNR clears the bar (two compiled
             # variants; VERDICT r1 next-step 1b). The PSNR host value was
-            # pulled in the PREVIOUS keyframe's batched end-of-run sync —
+            # pulled in the PREVIOUS keyframe's deferred end-of-run stats —
             # a dedicated device_get here cost a ~30 ms tunnel round trip.
             if self._last_psnr_host > float(adaptive):
                 iters = max(iters // 2, 10)
@@ -489,21 +522,19 @@ class GaussianMapper:
             self.state, _ = storage_control(
                 self.state, batch, binned, intr4, height=self.H,
                 width=self.W, render_kwargs=self.render_kwargs)
+        # enqueue (don't pull) the end-of-run stats: the pull is deferred to
+        # the next keyframe's _drain_stats so this thread returns without
+        # blocking and the device queue never drains between keyframes
         psnr_dev = metrics["psnr"]
         if binned_c is not None:
-            pulled = jax.device_get(
-                (jnp.max(binned.n_padded), jnp.any(binned.overflow),
-                 jnp.max(binned_c.n_padded), jnp.any(binned_c.overflow),
-                 psnr_dev))
-            self._tune_pair_capacity(binned, pulled=pulled[:2])
-            self._tune_pair_capacity(binned_c, sfx="_c", pulled=pulled[2:4])
-            self._last_psnr_host = float(pulled[4])
+            stats = _stats_coarse(binned.n_padded, binned.overflow,
+                                  binned_c.n_padded, binned_c.overflow,
+                                  psnr_dev)
         else:
-            pulled = jax.device_get(
-                (jnp.max(binned.n_padded), jnp.any(binned.overflow),
-                 psnr_dev))
-            self._tune_pair_capacity(binned, pulled=pulled[:2])
-            self._last_psnr_host = float(pulled[2])
+            stats = _stats_full(binned.n_padded, binned.overflow, psnr_dev)
+        for a in stats:
+            a.copy_to_host_async()
+        self._pending_stats = (stats, binned_c is not None)
 
     @staticmethod
     def _lrs(ta):

@@ -137,8 +137,11 @@ def write_rows(state: GaussianState, opt: SparseAdamState, slots,
     upd["stable"] = state.stable & ~mark
     upd["local_scores"] = jnp.where(mark1, 0.0, state.local_scores)
     upd["global_scores"] = jnp.where(mark1, 0.0, state.global_scores)
-    upd["globalkf_id"] = jnp.where(
-        mark, jnp.asarray(globalkf_id, jnp.int32), state.globalkf_id)
+    gkf = jnp.asarray(globalkf_id, jnp.int32)
+    if gkf.ndim == 0:     # densify: one keyframe id for every new row
+        upd["globalkf_id"] = jnp.where(mark, gkf, state.globalkf_id)
+    else:                 # storage page-in: per-row ids — scatter like params
+        upd["globalkf_id"] = state.globalkf_id.at[idx].set(gkf, mode="drop")
     upd["globalkf_max_scores"] = jnp.where(mark, 0.0,
                                            state.globalkf_max_scores)
     state = state.replace(**upd)

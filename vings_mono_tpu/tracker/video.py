@@ -15,6 +15,7 @@ the host so Python can branch on it (warmup, rollup, keyframe removal).
 from __future__ import annotations
 
 import functools
+import threading as _threading
 from typing import Optional
 
 import flax.struct
@@ -137,18 +138,24 @@ class DepthVideo:
         self.tstamps_host = []   # float64-precision timestamps
 
         # save buffers for marginalized/rolled-out keyframes (host memory,
-        # mirrors depth_video.py:93-107)
+        # mirrors depth_video.py:93-107). Rollup spills are ASYNC: the d2h
+        # transfers are enqueued with copy_to_host_async and only
+        # materialized into the numpy arrays when a reader touches a
+        # *_save property — a blocking 30-40 MB pull through the device
+        # tunnel stalled the whole pipeline ~1.5 s every rollup.
         ns = int(fe.get("save_buffer", 4096))
         h, w = height // 8, width // 8
         self.count_save = 0
-        self.tstamp_save = np.zeros(ns, np.float64)
-        self.images_save = np.zeros((ns, height, width, 3), np.float32)
-        self.poses_save = np.tile(np.array([0, 0, 0, 0, 0, 0, 1.0],
-                                           np.float32), (ns, 1))
-        self.disps_save = np.zeros((ns, h, w), np.float32)
-        self.disps_up_save = np.zeros((ns, height, width), np.float32)
-        self.depths_cov_save = np.zeros((ns, h, w), np.float32)
-        self.depths_cov_up_save = np.zeros((ns, height, width), np.float32)
+        self._pending_spills = []
+        self._spill_lock = _threading.Lock()
+        self._tstamp_save = np.zeros(ns, np.float64)
+        self._images_save = np.zeros((ns, height, width, 3), np.float32)
+        self._poses_save = np.tile(np.array([0, 0, 0, 0, 0, 0, 1.0],
+                                            np.float32), (ns, 1))
+        self._disps_save = np.zeros((ns, h, w), np.float32)
+        self._disps_up_save = np.zeros((ns, height, width), np.float32)
+        self._depths_cov_save = np.zeros((ns, h, w), np.float32)
+        self._depths_cov_up_save = np.zeros((ns, height, width), np.float32)
 
     # ------------------------------------------------------------------
     def append(self, tstamp, image, pose, disp, disp_sens, intrinsics,
@@ -177,26 +184,73 @@ class DepthVideo:
 
     def rollup(self, n):
         """Spill the oldest n keyframes to the host save buffers, then shift
-        the device window left by n."""
-        host = jax.device_get((self.bufs.tstamp[:n], self.bufs.images[:n],
-                               self.bufs.poses[:n], self.bufs.disps[:n],
-                               self.bufs.disps_up[:n],
-                               self.bufs.depths_cov[:n],
-                               self.bufs.depths_cov_up[:n]))
+        the device window left by n. The spill slices are enqueued (the
+        slice programs run before _roll overwrites the donated buffers —
+        stream order) and DMA'd to the host asynchronously; readers of the
+        *_save properties drain them."""
+        spill = {
+            "images": self.bufs.images[:n], "poses": self.bufs.poses[:n],
+            "disps": self.bufs.disps[:n], "disps_up": self.bufs.disps_up[:n],
+            "depths_cov": self.bufs.depths_cov[:n],
+            "depths_cov_up": self.bufs.depths_cov_up[:n]}
+        for a in spill.values():
+            a.copy_to_host_async()
         s = self.count_save
         e = s + n
-        self.tstamp_save[s:e] = host[0]
-        self.images_save[s:e] = host[1]
-        self.poses_save[s:e] = host[2]
-        self.disps_save[s:e] = host[3]
-        self.disps_up_save[s:e] = host[4]
-        self.depths_cov_save[s:e] = host[5]
-        self.depths_cov_up_save[s:e] = host[6]
-        self.tstamp_save[s:e] = np.asarray(self.tstamps_host[:n])
+        self._tstamp_save[s:e] = np.asarray(self.tstamps_host[:n])
+        with self._spill_lock:
+            self._pending_spills.append((s, n, spill))
         self.count_save = e
         self.bufs = _roll(self.bufs, n)
         self.tstamps_host = self.tstamps_host[n:]
         self.counter -= n
+
+    def _drain_spills(self):
+        with self._spill_lock:
+            pending, self._pending_spills = self._pending_spills, []
+        for s, n, spill in pending:
+            e = s + n
+            self._images_save[s:e] = np.asarray(spill["images"])
+            self._poses_save[s:e] = np.asarray(spill["poses"])
+            self._disps_save[s:e] = np.asarray(spill["disps"])
+            self._disps_up_save[s:e] = np.asarray(spill["disps_up"])
+            self._depths_cov_save[s:e] = np.asarray(spill["depths_cov"])
+            self._depths_cov_up_save[s:e] = \
+                np.asarray(spill["depths_cov_up"])
+
+    @property
+    def tstamp_save(self):
+        return self._tstamp_save  # written synchronously in rollup
+
+    @property
+    def images_save(self):
+        self._drain_spills()
+        return self._images_save
+
+    @property
+    def poses_save(self):
+        self._drain_spills()
+        return self._poses_save
+
+    @property
+    def disps_save(self):
+        self._drain_spills()
+        return self._disps_save
+
+    @property
+    def disps_up_save(self):
+        self._drain_spills()
+        return self._disps_up_save
+
+    @property
+    def depths_cov_save(self):
+        self._drain_spills()
+        return self._depths_cov_save
+
+    @property
+    def depths_cov_up_save(self):
+        self._drain_spills()
+        return self._depths_cov_up_save
 
     # ------------------------------------------------------------------
     def reproject(self, ii, jj):
