@@ -88,3 +88,25 @@ def test_keyframe_removal_path():
     assert tr.video.counter <= 10
     assert np.all(np.isfinite(np.asarray(
         tr.video.bufs.poses[:tr.video.counter])))
+
+
+def test_prefetched_proximity_matches_sync():
+    """The end-of-frame proximity-distance prefetch must propose exactly
+    the edges the blocking query would: run the same frame stream with the
+    prefetch force-disabled and compare the edge lists per frame."""
+    from vings_mono_tpu.tracker.frontend import Frontend
+
+    tr_pre = Tracker(make_cfg(), H, W)
+    tr_syn = Tracker(make_cfg(), H, W)
+    tr_syn.frontend._prefetch_proximity = lambda: None   # force sync path
+
+    for pkt in frames(16, np.random.default_rng(0)):
+        tr_pre.track(pkt)
+        tr_syn.track(dict(pkt))
+        np.testing.assert_array_equal(tr_pre.graph.ii, tr_syn.graph.ii)
+        np.testing.assert_array_equal(tr_pre.graph.jj, tr_syn.graph.jj)
+        np.testing.assert_array_equal(tr_pre.graph.ii_inac,
+                                      tr_syn.graph.ii_inac)
+    # the prefetch actually fired in steady state (consumed, not just built)
+    assert getattr(tr_pre.graph, "_prox_hits", 0) > 4
+    assert getattr(tr_syn.graph, "_prox_hits", 0) == 0

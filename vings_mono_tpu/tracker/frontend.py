@@ -115,6 +115,7 @@ class Frontend:
         self._seed_next(init=True)
         self.is_initialized = True
         self.graph.rm_factors(self.graph.ii < self.warmup - 4, store=True)
+        self._prefetch_proximity()
 
     # ------------------------------------------------------------------
     def _update(self):
@@ -151,10 +152,16 @@ class Frontend:
             self._rollup(self.rollup_n)
             self.did_rollup = True
 
-        # keyframe decision (dbaf_frontend.py:346-374)
-        d = float(np.asarray(self.video.distance(
-            [self.t1 - 3], [self.t1 - 2], beta=self.beta,
-            bidirectional=True))[0])
+        # keyframe decision (dbaf_frontend.py:346-374). thresh <= 0 keeps
+        # every keyframe, so the distance pull (a ~30-40 ms blocking tunnel
+        # sync that also drains the queued GRU+BA updates) is dead weight —
+        # skip it, same shortcut the motion filter takes for filter_thresh<0
+        if self.keyframe_thresh <= 0.0:
+            d = float("inf")
+        else:
+            d = float(np.asarray(self.video.distance(
+                [self.t1 - 3], [self.t1 - 2], beta=self.beta,
+                bidirectional=True))[0])
         if d < self.keyframe_thresh:
             self.graph.rm_keyframe(self.t1 - 2)
             if self.inertial is not None:
@@ -182,6 +189,18 @@ class Frontend:
                 self.monitor.render()
 
         self._seed_next()
+        self._prefetch_proximity()
+
+    def _prefetch_proximity(self):
+        """Enqueue the next frame's proximity distances now (all inputs are
+        final after _seed_next) so the next proposal's pull is latency-free.
+        VIO runs IMU pose prediction between frames (inertial.on_new_frame),
+        which would change the distances — prefetch only in visual-only
+        mode."""
+        if self.inertial is None:
+            self.graph.prefetch_proximity(
+                self.t1 - 4, max(self.t1 + 1 - self.frontend_window, 0),
+                beta=self.beta)
 
     # ------------------------------------------------------------------
     def _rollup(self, n):

@@ -568,17 +568,18 @@ class CovisibleGraph:
         keep = (np.abs(ii - jj) > 0) & (np.abs(ii - jj) <= r)
         self.add_factors(ii[keep], jj[keep])
 
-    def add_proximity_factors(self, t0=0, t1=0, rad=2, nms=2, beta=0.25,
-                              thresh=16.0, remove=False):
-        t = self.video.counter
+    def _proximity_pairs(self, t0, t1, t):
+        """Candidate (ii, jj) grid for a proximity proposal at frame count
+        `t`, plus the grid size cc (skip_edge candidates append after cc).
+        Deterministic in (t0, t1, t) — shared by the live proposal and the
+        end-of-frame prefetch so both query identical pairs."""
         ix = np.arange(t0, t)
         jx = np.arange(t1, t)
         if len(ix) == 0 or len(jx) == 0:
-            return
+            return None, None, 0
         ii, jj = np.meshgrid(ix, jx, indexing="ij")
         ii, jj = ii.reshape(-1), jj.reshape(-1)
         cc = ii.shape[0]
-
         if self.skip_edge:
             if ii.max() - ii.min() == self.frontend_window - 1:
                 jj_add = ii.min() + np.asarray(self.skip_edge, np.int64)
@@ -586,9 +587,42 @@ class CovisibleGraph:
                 ii_add = np.full_like(jj_add, ii.max())
                 jj = np.concatenate([jj, jj_add])
                 ii = np.concatenate([ii, ii_add])
+        return ii, jj, cc
 
-        d = np.asarray(jax.device_get(
-            self.video.distance(ii, jj, beta=beta)), np.float64)
+    def prefetch_proximity(self, t0, t1, beta):
+        """Enqueue the NEXT frame's proximity-distance query now (end of the
+        current update, when every input — poses, disps after the final BA —
+        is already final; the motion filter's append only touches
+        image/fmap/net/inp, which distance() never reads) and start its d2h
+        DMA. By the time the next _update's proposal needs the values, the
+        transfer has landed: the ~30-40 ms blocking tunnel sync becomes a
+        free pull. Correct regardless of motion-filter skips: t0/t1/counter
+        only advance when a frame IS appended, so the key still matches at
+        whichever frame triggers the next update."""
+        t = self.video.counter + 1
+        ii, jj, cc = self._proximity_pairs(t0, t1, t)
+        if ii is None:
+            self._prox_prefetch = None
+            return
+        d = self.video.distance_async(ii, jj, beta=beta)
+        self._prox_prefetch = ((t0, t1, t, float(beta)), len(ii), d)
+
+    def add_proximity_factors(self, t0=0, t1=0, rad=2, nms=2, beta=0.25,
+                              thresh=16.0, remove=False):
+        t = self.video.counter
+        ii, jj, cc = self._proximity_pairs(t0, t1, t)
+        if ii is None:
+            return
+
+        pref = getattr(self, "_prox_prefetch", None)
+        self._prox_prefetch = None
+        if pref is not None and pref[0] == (t0, t1, t, float(beta)) \
+                and pref[1] == len(ii):
+            self._prox_hits = getattr(self, "_prox_hits", 0) + 1
+            d = np.asarray(jax.device_get(pref[2]))[:len(ii)]
+        else:
+            d = self.video.distance(ii, jj, beta=beta)
+        d = np.asarray(d, np.float64)
         d[ii - rad < jj] = np.inf
         d[d > 100] = np.inf
 

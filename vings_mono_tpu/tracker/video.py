@@ -257,9 +257,12 @@ class DepthVideo:
         return _reproject(self.bufs, jnp.asarray(ii, jnp.int32),
                           jnp.asarray(jj, jnp.int32))
 
-    def distance(self, ii, jj, beta=0.3, bidirectional=False):
-        """Pads the query to power-of-two buckets so XLA compiles a handful
-        of shapes instead of one per frame."""
+    def distance_async(self, ii, jj, beta=0.3, bidirectional=False):
+        """Enqueue the distance program + its d2h DMA and return the device
+        array WITHOUT blocking — the caller pulls it later (by which time
+        the transfer has usually landed). Pads the query to power-of-two
+        buckets so XLA compiles a handful of shapes instead of one per
+        frame."""
         ii = np.asarray(ii, np.int64).reshape(-1)
         jj = np.asarray(jj, np.int64).reshape(-1)
         n = len(ii)
@@ -271,6 +274,13 @@ class DepthVideo:
         di = jnp.asarray(np.stack([pi, pj]), jnp.int32)
         d = _distance(self.bufs, di[0], di[1], beta=float(beta),
                       bidirectional=bool(bidirectional))
+        d.copy_to_host_async()
+        return d
+
+    def distance(self, ii, jj, beta=0.3, bidirectional=False):
+        n = len(np.asarray(ii, np.int64).reshape(-1))
+        d = self.distance_async(ii, jj, beta=beta,
+                                bidirectional=bidirectional)
         return np.asarray(jax.device_get(d))[:n]
 
     def c2w_matrices(self, upto=None):
