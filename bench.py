@@ -104,7 +104,7 @@ def main():
         # decision — drop it so the forced PSNR=99 survives and the halved
         # train_loop variant actually compiles here
         mapper._drain_stats()
-        mapper._pending_stats = None
+        mapper._pending_stats = []
         mapper._last_psnr_host = 99.0
         mapper.run(vz)
         jax.block_until_ready(mapper.state.xyz)

@@ -74,7 +74,7 @@ n_warm += 2
 jax.block_until_ready(tracker.video.bufs.poses)
 jax.block_until_ready(mapper.state.xyz)
 
-frames = {k: frame(k) for k in range(n_warm, n_warm + 2 * n_meas)}
+frames = {k: frame(k) for k in range(n_warm, n_warm + 3 * n_meas)}
 
 # throwaway overlapped pass
 q = queue.Queue(maxsize=4)
@@ -105,24 +105,34 @@ jax.block_until_ready(tracker.video.bufs.poses)
 jax.block_until_ready(mapper.state.xyz)
 n_warm += n_meas
 
+# CPython allows ONE active profiler process-wide: run two sequential
+# measured sections, profiling one thread each (everything is compiled by
+# now, so the second section costs only its own wall time).
 prof_t = cProfile.Profile()
 prof_m = cProfile.Profile()
-th = threading.Thread(target=map_worker, args=(prof_m,))
-th.start()
-t0 = time.perf_counter()
-for k in range(n_warm, n_warm + n_meas):
-    prof_t.enable()
-    tracker.track(frames[k])
-    viz = judge_and_package(tracker, cfg)
-    prof_t.disable()
-    if viz is not None:
-        q.put(viz)
-q.put(None)
-th.join()
-jax.block_until_ready(tracker.video.bufs.poses)
-jax.block_until_ready(mapper.state.xyz)
-dt = time.perf_counter() - t0
-print(f"measured: {n_meas / dt:.3f} fps ({dt * 1e3 / n_meas:.0f} ms/frame)")
+dts = []
+for sec, (pt, pm) in enumerate(((prof_t, None), (None, prof_m))):
+    th = threading.Thread(target=map_worker, args=(pm,))
+    th.start()
+    t0 = time.perf_counter()
+    for k in range(n_warm, n_warm + n_meas):
+        if pt is not None:
+            pt.enable()
+        tracker.track(frames[k])
+        viz = judge_and_package(tracker, cfg)
+        if pt is not None:
+            pt.disable()
+        if viz is not None:
+            q.put(viz)
+    q.put(None)
+    th.join()
+    jax.block_until_ready(tracker.video.bufs.poses)
+    jax.block_until_ready(mapper.state.xyz)
+    dts.append(time.perf_counter() - t0)
+    n_warm += n_meas
+for sec, dt in enumerate(dts):
+    print(f"section {sec}: {n_meas / dt:.3f} fps "
+          f"({dt * 1e3 / n_meas:.0f} ms/frame)")
 
 for name, prof in (("tracker", prof_t), ("mapper", prof_m)):
     s = io.StringIO()

@@ -81,6 +81,10 @@ class GaussianMapper:
         self.key = jax.random.PRNGKey(cfg.get("seed", 0))
         self._metrics_dev = None   # device tree; pulled lazily (d2h syncs
                                    # cost 5-40 ms each through the tunnel)
+        self._pending_stats = []
+        # drain accumulated end-of-run stats every N keyframes (see
+        # _drain_stats; per-keyframe drains stall on the tunnel backlog)
+        self.stats_every = int(m.get("stats_every", 4))
         self.H = self.W = None
         # round-robin binning cache: re-bin only `rebin_rows` cameras per
         # keyframe (the new one + the stalest); cached rows follow the
@@ -123,21 +127,26 @@ class GaussianMapper:
         return tuple(self.bin_kwargs_c.items()) + self._impl_kwargs
 
     def _drain_stats(self):
-        """Materialize the previous keyframe's end-of-run stats (pair-slot
-        demand, overflow, PSNR). run() defers this pull by one keyframe so
-        the mapper thread never blocks on the device tunnel between
-        keyframes (~30-40 ms each); bucket tuning therefore reacts one
-        keyframe later, which only delays a grow/shrink by one step."""
-        ps = getattr(self, "_pending_stats", None)
-        if ps is None:
+        """Materialize the ACCUMULATED end-of-run stats (pair-slot demand,
+        overflow, PSNR). run() enqueues each keyframe's stats with an async
+        d2h and only drains every `stats_every` keyframes: through the FIFO
+        device tunnel a pull waits on the whole enqueued backlog (~300 ms
+        measured, scripts/profile_host.py), so per-keyframe draining stalls
+        the mapper thread for most of a train_loop. Draining a batch pulls
+        values that have long since landed — one cheap sync amortized over N
+        keyframes. Bucket tuning/adaptive-iters react up to N keyframes
+        later; a missed overflow keyframe only drops its farthest pairs
+        until the batch drain grows the bucket."""
+        pend = getattr(self, "_pending_stats", None) or []
+        if not pend:
             return
-        self._pending_stats = None
-        stats, had_c = ps
-        pulled = jax.device_get(stats)
-        self._tune_pair_capacity(None, pulled=pulled[:2])
-        if had_c:
-            self._tune_pair_capacity(None, sfx="_c", pulled=pulled[2:4])
-        self._last_psnr_host = float(pulled[-1])
+        self._pending_stats = []
+        pulled_all = jax.device_get([p[0] for p in pend])
+        for pulled, (_, had_c) in zip(pulled_all, pend):
+            self._tune_pair_capacity(None, pulled=pulled[:2])
+            if had_c:
+                self._tune_pair_capacity(None, sfx="_c", pulled=pulled[2:4])
+            self._last_psnr_host = float(pulled[-1])
 
     def freeze_buckets(self):
         """Pin both pair-capacity buckets (bench: a bucket switch
@@ -432,10 +441,8 @@ class GaussianMapper:
 
         iters = int(ta["iters"])
         adaptive = self.cfg["mapper"].get("adaptive_iters")
-        # the previous keyframe's deferred stats (PSNR + bucket demand) are
-        # drained HERE — after this keyframe's add_frame/binning enqueues —
-        # so the device pipeline stays fed while the host blocks
-        self._drain_stats()
+        if len(getattr(self, "_pending_stats", ())) >= self.stats_every:
+            self._drain_stats()
         if adaptive and getattr(self, "_last_psnr_host", None) is not None:
             # converged windows need fewer refinement iterations — halve
             # the budget once the window PSNR clears the bar (two compiled
@@ -534,7 +541,9 @@ class GaussianMapper:
             stats = _stats_full(binned.n_padded, binned.overflow, psnr_dev)
         for a in stats:
             a.copy_to_host_async()
-        self._pending_stats = (stats, binned_c is not None)
+        if not isinstance(getattr(self, "_pending_stats", None), list):
+            self._pending_stats = []
+        self._pending_stats.append((stats, binned_c is not None))
 
     @staticmethod
     def _lrs(ta):
