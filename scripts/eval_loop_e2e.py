@@ -102,12 +102,19 @@ def main(argv=None):
     save_trajectory(tracker, work)
     ate = eval_trajectory(work, dataset)
 
+    # per-attempt stage diagnostics (detect.py traces): where attempts die
+    traces = looper.detector.traces
+    stages = {}
+    for t in traces:
+        stages[t["stage"]] = stages.get(t["stage"], 0) + 1
     out = {"frames": args.frames,
            "keyframes": kf_count,
            "detect_attempts": detect_attempts,
            "loops_closed": len(looper.closed_at),
            "closed_at": [int(g) for g in looper.closed_at],
-           "ate_rmse_m": None if ate is None else float(ate)}
+           "ate_rmse_m": None if ate is None else float(ate),
+           "stage_histogram": stages,
+           "traces": traces}
     print(json.dumps(out))
     if args.out:
         with open(args.out, "w") as f:

@@ -117,3 +117,48 @@ def test_entry_compiles_cpu(cpu_devices):
     out = jax.jit(fn)(*args)
     for o in out:
         assert np.all(np.isfinite(np.asarray(o)))
+
+
+@pytest.mark.slow
+def test_mapper_dp_product_path(cpu_devices, tmp_path):
+    """PRODUCT multi-device path (VERDICT r3 #3): GaussianMapper built with
+    config `parallel: {dp: 2}` routes binning + the train loop through the
+    dp mesh (dp_bin_stack / dp_train_loop) and produces a finite,
+    replicated map on a real viz_out window."""
+    import jax
+    import jax.numpy as jnp
+    from vings_mono_tpu.mapper.mapper import GaussianMapper
+    from vings_mono_tpu.utils.config import load_config
+
+    H, W = 32, 48
+    cfg = load_config(overrides={
+        "training_args": {"iters": 4, "num_keyframe": 3},
+        "mapper": {"capacity": 2048, "pair_capacity": 2048, "chunk": 64,
+                   "kf_capacity": 4, "points_per_frame": 128,
+                   "points_first_frame": 256, "impl": "tile",
+                   "interpret": True, "visible_capacity": 512},
+        "parallel": {"dp": 2, "platform": "cpu"},
+    })
+    mapper = GaussianMapper(cfg)
+    assert mapper.mesh is not None and mapper.mesh.shape["dp"] == 2
+
+    rng = np.random.default_rng(7)
+    K = 3
+    depths = rng.uniform(2.0, 5.0, (K, H, W, 1)).astype(np.float32)
+    viz_out = {
+        "images": rng.uniform(0, 1, (K, H, W, 3)).astype(np.float32),
+        "depths": depths,
+        "depths_cov": np.full((K, H, W, 1), 0.01, np.float32),
+        "poses": np.tile(np.eye(4, dtype=np.float32)[None], (K, 1, 1)),
+        "viz_out_idx_to_f_idx": np.arange(K, dtype=np.float64),
+        "global_kf_id": np.arange(K, dtype=np.int64),
+        "intrinsic": {"fu": 40.0, "fv": 40.0, "cu": H / 2, "cv": W / 2,
+                      "H": H, "W": W},
+    }
+    mapper.run(viz_out)
+    assert mapper.initialized and mapper.n_alive > 50
+    m = mapper.last_metrics
+    assert np.isfinite(m["total"]) and np.isfinite(m["psnr"])
+    # state must be mesh-replicated and finite
+    assert len(mapper.state.xyz.sharding.device_set) == 2
+    assert bool(jnp.all(jnp.isfinite(mapper.state.xyz)))

@@ -24,6 +24,9 @@ class LoopDetector:
     def __init__(self, cfg, sp_params_path=None, max_kp=512,
                  lg_params_path=None):
         self.cfg = cfg
+        # per-attempt diagnostics (stage the attempt died at + stats);
+        # populated by detect(), consumed by scripts/eval_loop_e2e.py
+        self.traces = []
         self.model, self.params = load_superpoint(sp_params_path)
         self.max_kp = max_kp
         self._extract = jax.jit(self._extract_impl,
@@ -103,7 +106,8 @@ class LoopDetector:
         return xy_a[ok], xy_b[idx[ok]]
 
     # ------------------------------------------------------------------
-    def pnp_history_pose(self, kp_cur, kp_hist, depth_cur, cur_c2w, intr4):
+    def pnp_history_pose(self, kp_cur, kp_hist, depth_cur, cur_c2w, intr4,
+                         trace=None):
         """World points from the current frame's keypoints+depth, solved
         against the history frame's 2D keypoints (loop_detect.py:66-95).
         Returns history c2w or None."""
@@ -127,6 +131,8 @@ class LoopDetector:
             pts_w.astype(np.float64),
             kp_hist[good].astype(np.float64).reshape(-1, 1, 2), K, None,
             reprojectionError=4.0, iterationsCount=100)
+        if trace is not None:
+            trace["pnp_inliers"] = 0 if inl is None else int(len(inl))
         if not okf or inl is None or len(inl) < 10:
             return None
         R, _ = cv2.Rodrigues(rvec)
@@ -140,36 +146,46 @@ class LoopDetector:
                hist_c2w_guess, intr, min_matches=40,
                sanity_dist=15.0, verify_thresh=0.15, verify_distance=60.0):
         """Full detect pipeline; returns rectified history c2w or None."""
+        tr = {"stage": "match", "matches": 0, "pnp_inliers": 0,
+              "sanity_d": None, "verify_px": 0, "verify_err": None}
+        self.traces.append(tr)
         feat_cur = self.extract(cur_img)
         feat_hist = self.extract(hist_img)
         kp_c, kp_h = self.match(feat_cur, feat_hist,
                                 img_hw=cur_img.shape[:2])
+        tr["matches"] = int(len(kp_c))
         if len(kp_c) < min_matches:
             return None
+        tr["stage"] = "pnp"
         intr4 = np.asarray([intr["fv"], intr["fu"], intr["cv"],
                             intr["cu"]])
         new_c2w = self.pnp_history_pose(kp_c, kp_h, cur_depth, cur_c2w,
-                                        intr4)
+                                        intr4, trace=tr)
         if new_c2w is None:
             return None
-        if np.linalg.norm(new_c2w[:3, 3]
-                          - np.asarray(hist_c2w_guess)[:3, 3]) \
-                > sanity_dist:
+        tr["stage"] = "sanity"
+        tr["sanity_d"] = float(np.linalg.norm(
+            new_c2w[:3, 3] - np.asarray(hist_c2w_guess)[:3, 3]))
+        if tr["sanity_d"] > sanity_dist:
             return None
         # render-verify (loop_detect.py:120-193): the map seen from the
         # recovered pose must photometrically match the history image.
         # Distance-culled like the reference's render_indistance 60 m
         # render (gaussian_base.py:238-332) — fast at km scale, and far
         # geometry can't pollute the check.
+        tr["stage"] = "verify"
         rets = mapper.render_at(np.linalg.inv(new_c2w), intr,
                                 max_dist=verify_distance)
         acc = np.asarray(rets["accum"])[0]
         dep = np.asarray(rets["depth"])[0]
         m = (acc > 0.95) & (dep < 15.0)
+        tr["verify_px"] = int(m.sum())
         if m.sum() < 500:
             return None
         pred = np.moveaxis(np.asarray(rets["rgb"]), 0, -1)
         err = np.abs(pred - np.asarray(hist_img)).mean(-1)
-        if float(err[m].mean()) > verify_thresh:
+        tr["verify_err"] = float(err[m].mean())
+        if tr["verify_err"] > verify_thresh:
             return None
+        tr["stage"] = "ok"
         return new_c2w

@@ -92,7 +92,12 @@ class LoopModel:
         if not cands:
             return False
 
-        cur_img = np.asarray(viz_out["images"][-1])
+        # current image from the CLEAN history buffers, NOT viz_out: the
+        # middleware blacks out depth-filtered pixels (judge_and_package
+        # zeroes rgb where depth is invalid), and SuperPoint then keys on
+        # the hole boundaries instead of the scene — measured to collapse
+        # matching from ~200 to 1-3 matches (round-4 instrumented e2e)
+        cur_img = imgs[cur_gid]
         cur_depth = np.asarray(viz_out["depths"][-1])[..., 0]
         cur_c2w = np.asarray(viz_out["poses"][-1])
         intr = viz_out["intrinsic"]

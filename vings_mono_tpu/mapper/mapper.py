@@ -67,6 +67,18 @@ class GaussianMapper:
                            "tile_cap": int(m.get("tile_depth_cap", 512))}
         self._impl_kwargs = (("impl", m.get("impl", "tile")),
                              ("interpret", bool(m.get("interpret", False))))
+        # multi-device data parallelism over the keyframe window (config
+        # `parallel: {dp: N}` — VERDICT r3 #3): keyframes+binning shard
+        # over a flat dp mesh, Gaussian state replicates, grads psum over
+        # ICI. dp=1 (default) keeps the single-device path untouched.
+        pcfg = cfg.get("parallel") or {}
+        self.dp = int(pcfg.get("dp", 1))
+        self.mesh = None
+        if self.dp > 1:
+            from ..parallel.mesh import make_dp_mesh
+            self.mesh = make_dp_mesh(self.dp, pcfg.get("platform"))
+            assert self.kf_capacity % self.dp == 0, \
+                "mapper.kf_capacity must divide by parallel.dp"
         self.state = empty_state(self.capacity)
         self.opt = adam_init(self.state)
         self.use_sky = bool(cfg.get("use_sky"))
@@ -313,7 +325,25 @@ class GaussianMapper:
 
     def _next_key(self):
         self.key, k = jax.random.split(self.key)
+        if self.mesh is not None:
+            from ..parallel.mesh import put_replicated
+            k = put_replicated(self.mesh, k)
         return k
+
+    def _to_mesh(self, tree):
+        """Replicate a pytree onto the dp mesh (no-op when dp=1 or when
+        the leaves already carry that sharding)."""
+        if self.mesh is None:
+            return tree
+        from ..parallel.mesh import put_replicated
+        return put_replicated(self.mesh, tree)
+
+    def _train(self, *targs, **tkw):
+        """Route train_loop through the dp mesh when configured."""
+        if self.mesh is None:
+            return train_loop(*targs, **tkw)
+        from ..parallel.mesh import dp_train_loop
+        return dp_train_loop(self.mesh, *targs, **tkw)
 
     # ---- round-robin binning cache -------------------------------------
     def _refresh_binned(self, batch, intr4, height=None, width=None,
@@ -336,6 +366,17 @@ class GaussianMapper:
         gids = self._gids_host
         cached = getattr(self, "_binned" + sfx)
         cached_gids = getattr(self, "_cached_gids" + sfx)
+        if self.mesh is not None:
+            # dp mode: full dp-sharded re-bin every keyframe — each device
+            # bins K/dp cameras in parallel, which is cheaper than the
+            # cache's stalest-rows re-bin and has zero staleness
+            from ..parallel.mesh import dp_bin_stack
+            binned = dp_bin_stack(self.mesh, self.state, batch, intr4,
+                                  height, width, **bin_kwargs)
+            setattr(self, "_binned" + sfx, binned)
+            setattr(self, "_cached_gids" + sfx, gids.copy())
+            setattr(self, "_bin_age" + sfx, np.zeros(kc, np.int64))
+            return binned
         full_rebin = (R <= 0 or R >= kc or cached is None)
         if not full_rebin:
             perm = np.zeros(kc, np.int64)
@@ -386,6 +427,17 @@ class GaussianMapper:
         self.H, self.W = int(intr["H"]), int(intr["W"])
         intr4 = _intr4(intr)
         batch = self._pack_batch(viz_out)
+        if self.mesh is not None:
+            # everything the mapper programs touch must live on the mesh
+            # (mixing single-device tracker outputs with mesh-replicated
+            # state in one jit raises "incompatible devices")
+            batch = self._to_mesh(batch)
+            intr4 = self._to_mesh(intr4)
+            self.state = self._to_mesh(self.state)
+            self.opt = self._to_mesh(self.opt)
+            if self.use_sky:
+                self.sky.state = self._to_mesh(self.sky.state)
+                self.sky.opt = self._to_mesh(self.sky.opt)
         ta = self.cfg["training_args"]
         mcfg = self.cfg["mapper"]
 
@@ -492,7 +544,7 @@ class GaussianMapper:
                                             width=wc,
                                             bin_kwargs=self.bin_kwargs_c,
                                             sfx="_c")
-            self.state, self.opt, sky_state, sky_opt, _ = train_loop(
+            self.state, self.opt, sky_state, sky_opt, _ = self._train(
                 self.state, self.opt, batch_c, binned_c, intr4_c,
                 self._next_key(), iters=iters_c, height=hc, width=wc,
                 weights=ta["loss_weights"], lrs=lrs,
@@ -516,7 +568,7 @@ class GaussianMapper:
         self._mfu_sig = (jax.tree.map(
             lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype)
             if hasattr(x, "shape") else x, targs), tkw, iters - iters_c)
-        self.state, self.opt, sky_state, sky_opt, metrics = train_loop(
+        self.state, self.opt, sky_state, sky_opt, metrics = self._train(
             *targs, **tkw)
         if self.use_sky:
             self.sky.state, self.sky.opt = sky_state, sky_opt
@@ -563,10 +615,19 @@ class GaussianMapper:
             self.H = int(viz_out["intrinsic"]["H"])
             self.W = int(viz_out["intrinsic"]["W"])
         batch = self._pack_batch(viz_out)
-        binned = bin_stack(self.state, batch, intr4, self.H, self.W,
-                           **self.bin_kwargs)
+        if self.mesh is not None:
+            batch = self._to_mesh(batch)
+            intr4 = self._to_mesh(intr4)
+            self.state = self._to_mesh(self.state)
+            self.opt = self._to_mesh(self.opt)
+            from ..parallel.mesh import dp_bin_stack
+            binned = dp_bin_stack(self.mesh, self.state, batch, intr4,
+                                  self.H, self.W, **self.bin_kwargs)
+        else:
+            binned = bin_stack(self.state, batch, intr4, self.H, self.W,
+                               **self.bin_kwargs)
         ta = self.cfg["training_args"]
-        self.state, self.opt, _, _, metrics = train_loop(
+        self.state, self.opt, _, _, metrics = self._train(
             self.state, self.opt, batch, binned, intr4, self._next_key(),
             iters=int(iters), height=self.H, width=self.W,
             weights={**ta["loss_weights"], **(weights or {})},

@@ -119,15 +119,19 @@ def permute_scatter_binned(full, perm, part, rows):
     return jax.tree.map(lambda f, p: f.at[rows].set(p), moved, part)
 
 
-@functools.partial(jax.jit, static_argnames=("iters", "height", "width",
-                                             "render_kwargs", "use_sky"),
-                   donate_argnums=(0, 1))
-def train_loop(state: GaussianState, opt: SparseAdamState,
-               batch: KeyframeBatch, binned_stack, intr4, key, *,
-               iters: int, height: int, width: int, weights=None,
-               lrs=None, render_kwargs=(), use_sky: bool = False,
-               sky_state=None, sky_opt=None, sky_images=None,
-               sky_binned=None):
+def _train_loop_impl(state: GaussianState, opt: SparseAdamState,
+                     batch: KeyframeBatch, binned_stack, intr4, key, *,
+                     iters: int, height: int, width: int, weights=None,
+                     lrs=None, render_kwargs=(), use_sky: bool = False,
+                     sky_state=None, sky_opt=None, sky_images=None,
+                     sky_binned=None, axis_name=None):
+    """Loop body shared by the single-device `train_loop` and the
+    dp-sharded `parallel.mesh.dp_train_loop`. With `axis_name` set the
+    function runs INSIDE a shard_map: batch/binned carry only this
+    device's keyframe slice, every device renders its own random local
+    keyframe per iteration, and gradients/scores are combined with psum
+    so the replicated Gaussian state stays bit-identical across devices
+    (the TPU-native scale-out of the mapper, SURVEY §2.10)."""
     rkw = dict(render_kwargs)
 
     def loss_fn(params, sky_params, carrier, camera, kf):
@@ -172,7 +176,18 @@ def train_loop(state: GaussianState, opt: SparseAdamState,
     def body(it, carry):
         st, op, sst, sop, k, _ = carry
         k, k1 = jax.random.split(k)
-        kf = jax.random.randint(k1, (), 0, jnp.maximum(batch.n_valid, 1))
+        if axis_name is not None:
+            # per-device keyframe sampling from the LOCAL window slice;
+            # devices whose slice is entirely padding contribute weight 0
+            idx = jax.lax.axis_index(axis_name)
+            k1 = jax.random.fold_in(k1, idx)
+            k_local = batch.images.shape[0]
+            nv_local = jnp.clip(batch.n_valid - idx * k_local, 0, k_local)
+            dev_valid = nv_local > 0
+            kf = jax.random.randint(k1, (), 0, jnp.maximum(nv_local, 1))
+        else:
+            kf = jax.random.randint(k1, (), 0,
+                                    jnp.maximum(batch.n_valid, 1))
         camera = make_camera(batch.w2cs[kf], intr4, height, width)
         carrier = jnp.zeros((st.capacity, 2), jnp.float32)
         sky_params = sst.params() if use_sky else {
@@ -180,7 +195,37 @@ def train_loop(state: GaussianState, opt: SparseAdamState,
             st.params().items()}
         (_, (metrics, visible, sky_vis)), (gp, gs, cur) = grad_fn(
             st.params(), sky_params, carrier, camera, kf)
-        cur0, cur1 = cur[:, 0], cur[:, 1]
+        gid_kf = batch.global_kf_id[kf]
+        if axis_name is not None:
+            # combine the dp devices' per-keyframe results so every device
+            # applies the SAME update: weighted pmean of grads/metrics,
+            # psum of the additive score accumulators, union of
+            # visibility, and per-Gaussian arg-max over devices for the
+            # keyframe attribution (gaussian_base.py:387-392 semantics)
+            w = dev_valid.astype(jnp.float32)
+            denom = jax.lax.psum(w, axis_name)
+            mean = lambda t: jax.tree.map(
+                lambda g: jax.lax.psum(g * w, axis_name) / denom, t)
+            gp = mean(gp)
+            metrics = mean(metrics)
+            cur0_dev = cur[:, 0] * w
+            cur = jax.lax.psum(cur * w, axis_name)
+            # accumulators use the psum'd totals; attribution uses the
+            # per-device max + its keyframe id (arg-max over devices)
+            best0 = jax.lax.pmax(cur0_dev, axis_name)
+            gid_kf = jax.lax.pmax(
+                jnp.where((cur0_dev >= best0) & dev_valid, gid_kf,
+                          jnp.int32(-(1 << 30))), axis_name)
+            visible = jax.lax.psum(
+                (visible & dev_valid).astype(jnp.int32), axis_name) > 0
+            if use_sky:
+                gs = mean(gs)
+                sky_vis = jax.lax.psum(
+                    (sky_vis & dev_valid).astype(jnp.int32), axis_name) > 0
+            cur0, cur1 = cur[:, 0], cur[:, 1]
+        else:
+            cur0, cur1 = cur[:, 0], cur[:, 1]
+            best0 = cur0
 
         # score bookkeeping (add_records, gaussian_model.py:163-169 +
         # globalkf attribution, gaussian_base.py:387-392)
@@ -194,9 +239,9 @@ def train_loop(state: GaussianState, opt: SparseAdamState,
         glob = jnp.clip(jnp.stack([st.global_scores[:, 0] + cur0,
                                    st.global_scores[:, 1]], axis=-1),
                         0.0, 1e4)
-        replace = st.globalkf_max_scores < cur0
-        gmax = jnp.where(replace, cur0, st.globalkf_max_scores)
-        gid = jnp.where(replace, batch.global_kf_id[kf], st.globalkf_id)
+        replace = st.globalkf_max_scores < best0
+        gmax = jnp.where(replace, best0, st.globalkf_max_scores)
+        gid = jnp.where(replace, gid_kf, st.globalkf_id)
 
         # anti-forgetting gradient weighting (gaussian_utils.py:56-62);
         # falls back to 1 when no scores flow (naive render path)
@@ -224,6 +269,12 @@ def train_loop(state: GaussianState, opt: SparseAdamState,
         0, iters, body, (state, opt, sky_state, sky_opt, key,
                          zero_metrics))
     return state, opt, sky_state, sky_opt, metrics
+
+
+train_loop = functools.partial(
+    jax.jit, static_argnames=("iters", "height", "width", "render_kwargs",
+                              "use_sky", "axis_name"),
+    donate_argnums=(0, 1))(_train_loop_impl)
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
