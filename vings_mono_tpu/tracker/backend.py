@@ -121,6 +121,14 @@ class GlobalBA:
         self.d_cap = int(be.get("degree_cap", 8))
         self.chunk = int(be.get("chunk", 32))
         self.enc_batch = int(be.get("encode_batch", 8))
+        # edge-proposal band (|i-j| <= band); the banded pose solve uses
+        # 2*band block bandwidth (Schur fill-in doubles it)
+        self.band = int(be.get("band", 64))
+        # dense (T*6)^2 solve only for tiny trajectories / tests; the
+        # banded PCG path is the product solver (VERDICT r3 #6: dense
+        # storage is 9.2 GB at the kitti360 save_buffer=8000 scale)
+        self.dense_solve = bool(be.get("dense_solve", False))
+        self.cg_iters = int(be.get("cg_iters", 128))
         # test seam: callable (ii, jj) -> (E, 2, h, w) seed targets; the
         # default seeds with the current reprojection (zero initial motion)
         self.target_fn = None
@@ -150,7 +158,7 @@ class GlobalBA:
         the only Python loop left is the inherently-sequential greedy NMS
         over *thresholded* candidates. Distances are computed on device in
         fixed-size chunks (one compiled program reused across chunks)."""
-        band = 64
+        band = self.band
         # candidate band: |i-j| <= band keyframes (the reference computes
         # all T^2 distances; loop edges farther apart than the band are
         # expected to have been handled by the online loop-closure module
@@ -347,11 +355,22 @@ class GlobalBA:
                         dev["target"], dev["weight"], dev["eta"],
                         dev["upmask"], t_cap=t_cap)
                 nets_e = nets_e.at[sl].set(net_new)
-            dev["poses"], dev["disps"] = ba_ops.ba_global(
-                dev["target"], dev["weight"], dev["eta"], dev["poses"],
-                dev["disps"], dev["intr"], jnp.asarray(ii_p),
-                jnp.asarray(jj_p), valid_dev, jnp.asarray(gi),
-                jnp.asarray(gv), free, iters=self.gn_iters)
+            if self.dense_solve:
+                dev["poses"], dev["disps"] = ba_ops.ba_global(
+                    dev["target"], dev["weight"], dev["eta"], dev["poses"],
+                    dev["disps"], dev["intr"], jnp.asarray(ii_p),
+                    jnp.asarray(jj_p), valid_dev, jnp.asarray(gi),
+                    jnp.asarray(gv), free, iters=self.gn_iters)
+            else:
+                # banded pose system + PCG: the Schur complement fills in
+                # up to 2x the edge band
+                dev["poses"], dev["disps"] = ba_ops.ba_global_banded(
+                    dev["target"], dev["weight"], dev["eta"], dev["poses"],
+                    dev["disps"], dev["intr"], jnp.asarray(ii_p),
+                    jnp.asarray(jj_p), valid_dev, jnp.asarray(gi),
+                    jnp.asarray(gv), free, iters=self.gn_iters,
+                    band=min(2 * self.band, t_cap - 1),
+                    cg_iters=self.cg_iters)
 
         # ---- write back --------------------------------------------------
         disps_up = upsample_disp(dev["disps"][:T], dev["upmask"][:T])
