@@ -110,3 +110,18 @@ def test_prefetched_proximity_matches_sync():
     # the prefetch actually fired in steady state (consumed, not just built)
     assert getattr(tr_pre.graph, "_prox_hits", 0) > 4
     assert getattr(tr_syn.graph, "_prox_hits", 0) == 0
+
+
+def test_keyframe_distance_prefetch_consumed():
+    """The end-of-frame keyframe-distance prefetch (the gated lane's
+    per-frame ~30-40 ms tunnel sync, VERDICT r3 perf lever a) must
+    actually be consumed in steady state, and the gated pipeline must
+    stay finite."""
+    cfg = make_cfg()
+    cfg["frontend"]["keyframe_thresh"] = 0.1   # keep most, but decide
+    tr = Tracker(cfg, H, W)
+    for pkt in frames(14, np.random.default_rng(2)):
+        tr.track(pkt)
+    assert getattr(tr.frontend, "_kf_dist_hits", 0) >= 3
+    assert np.all(np.isfinite(np.asarray(
+        tr.video.bufs.poses[:tr.video.counter])))

@@ -79,6 +79,7 @@ class Frontend:
         self.rollup_n = int(fe.get("rollup_n", 30))
         self.new_frame_added = False
         self.did_rollup = False
+        self._kf_dist_prefetch = None
         # hook for the VIO fusion layer (set via attach_inertial)
         self.inertial = None
         # live trajectory/attitude/bias monitor (dbaf_frontend.py:83-90)
@@ -159,9 +160,21 @@ class Frontend:
         if self.keyframe_thresh <= 0.0:
             d = float("inf")
         else:
-            d = float(np.asarray(self.video.distance(
-                [self.t1 - 3], [self.t1 - 2], beta=self.beta,
-                bidirectional=True))[0])
+            pref = self._kf_dist_prefetch
+            self._kf_dist_prefetch = None
+            if pref is not None and pref[0] == (self.t1 - 3, self.t1 - 2):
+                self._kf_dist_hits = getattr(self, "_kf_dist_hits", 0) + 1
+                # enqueued at the end of the previous frame (same trick as
+                # prefetch_proximity): the DMA has landed by now, so this
+                # pull is latency-free. The distance is one BA-refinement
+                # stale (measured from poses/disps before this frame's
+                # iters1), which for frames 2-3 steps into the converged
+                # window does not move the gate decision
+                d = float(np.asarray(jax.device_get(pref[1]))[0])
+            else:
+                d = float(np.asarray(self.video.distance(
+                    [self.t1 - 3], [self.t1 - 2], beta=self.beta,
+                    bidirectional=True))[0])
         if d < self.keyframe_thresh:
             self.graph.rm_keyframe(self.t1 - 2)
             if self.inertial is not None:
@@ -201,9 +214,24 @@ class Frontend:
             self.graph.prefetch_proximity(
                 self.t1 - 4, max(self.t1 + 1 - self.frontend_window, 0),
                 beta=self.beta)
+        # same trick for the next frame's keyframe decision: its pair
+        # (t1'-3, t1'-2) is (t1-2, t1-1) in this frame's numbering — both
+        # already in the window. Invalidated by rollups (key shift in
+        # _rollup) and by VIO (pose prediction between frames)
+        if self.inertial is None and self.keyframe_thresh > 0.0 \
+                and self.t1 >= 2:
+            d = self.video.distance_async(
+                [self.t1 - 2], [self.t1 - 1], beta=self.beta,
+                bidirectional=True)
+            self._kf_dist_prefetch = ((self.t1 - 2, self.t1 - 1), d)
 
     # ------------------------------------------------------------------
     def _rollup(self, n):
+        if self._kf_dist_prefetch is not None:
+            # the prefetched distance itself is index-free; only its key
+            # (frame indices) shifts with the window
+            key, d = self._kf_dist_prefetch
+            self._kf_dist_prefetch = ((key[0] - n, key[1] - n), d)
         self.video.rollup(n)
         self.graph.shift_indices(n)
         self.graph.ii_bad = np.maximum(self.graph.ii_bad - n, -1)

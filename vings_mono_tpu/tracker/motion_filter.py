@@ -103,6 +103,11 @@ class MotionFilter:
             fmap, mag_dev = _features_and_gate(
                 self.params, self.fnet_apply, self.update_apply, image,
                 self.fmap, self.net, self.inp, bf16=self.bf16)
+            # issue the d2h DMA request now, while the program is still in
+            # flight — float() then waits on compute only, instead of
+            # paying an extra transfer-request round trip through the
+            # tunnel after compute finishes
+            mag_dev.copy_to_host_async()
             mag = float(mag_dev)
         if mag > self.thresh:
             self.count = 0
