@@ -316,3 +316,33 @@ def test_metric_depth_feeds_disps_sens():
                    "depth": depth})
     ds = np.asarray(tracker.video.bufs.disps_sens[0])
     np.testing.assert_allclose(ds, 0.25, rtol=1e-5)
+
+
+def test_middleware_nerfslam_dirty_window():
+    """vo_nerfslam packages the FULL dirty BA window including the newest
+    frame (visual_frontend.py:1544-1616 viz_idx semantics); v3 packages
+    the covisible edge-sourcing frames minus the newest. Same tracker
+    state, both variants."""
+    from tests.test_tracker import Tracker, make_cfg, frames, H, W
+    from vings_mono_tpu.middleware import judge_and_package
+
+    cfg = make_cfg()
+    tr = Tracker(cfg, H, W)
+    for pkt in frames(12, np.random.default_rng(3)):
+        tr.track(pkt)
+    assert tr.frontend.new_frame_added
+
+    v3 = judge_and_package(tr, cfg)
+    cfg_ns = dict(cfg, mode="vo_nerfslam")
+    ns = judge_and_package(tr, cfg_ns)
+
+    newest = tr.frontend.t1 - 1
+    assert newest in ns["valid_localkf_id"]
+    assert newest not in v3["valid_localkf_id"]
+    # contiguous dirty window
+    d = np.diff(ns["valid_localkf_id"])
+    assert np.all(d == 1)
+    # same contract shape/gating
+    assert ns["images"].shape == v3["images"].shape
+    assert ns["n_valid"] >= v3["n_valid"]
+    assert np.isfinite(np.asarray(ns["depths"])).all()

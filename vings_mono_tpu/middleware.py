@@ -15,12 +15,14 @@ an edge, minus the newest"; we implement that intent directly.
 Variant coverage:
   * v3 (default) — the covisible-window packaging below;
   * v0_kitti360 (middleware.variant) — save-buffer + sky-crop packaging;
-  * nerfslam (middleware_utils.py:256-301) — its gating math (depth >
-    max_depth OR cov > cov_times*median, rgb zeroed with depth) is
-    identical to v3's; the only difference is the source buffer (the
-    nerfslam frontend's dirty keyframes vs the covisible selection),
-    which this rebuild's consolidated frontend already unifies — so
-    mode=vo_nerfslam intentionally routes through v3.
+  * nerfslam (middleware_utils.py:256-301 + the frontend's dirty-KF
+    marking, visual_frontend.py:1544-1616) — same gating math as v3
+    (depth > max_depth OR cov > cov_times*median, rgb zeroed with depth),
+    but a different SELECTION: every keyframe the BA re-optimized since
+    the last packaging (`viz_idx[kf0:kf_idx+1] = True`), INCLUDING the
+    newest frame — the mapper refreshes poses/depths of the whole dirty
+    window instead of receiving only settled covisible frames.
+    mode=vo_nerfslam (or middleware.variant=nerfslam) routes here.
 """
 
 from __future__ import annotations
@@ -114,10 +116,75 @@ def judge_and_package_v0_kitti360(tracker, cfg=None):
     }
 
 
+def judge_and_package_nerfslam(tracker, cfg):
+    """Dirty-window packaging (the NeRF-SLAM frontend's get_viz_out,
+    visual_frontend.py:1544-1616): the frontend marks every keyframe its
+    BA touched as dirty (`viz_idx[kf0:kf_idx+1] = True`); packaging sends
+    ALL of them — the full current BA window, newest frame included — so
+    the mapper refreshes poses/depths for keyframes that moved, not only
+    newly-settled ones. Selection differs from v3; the per-pixel gating
+    (middleware_utils.py:256-301) is shared via _package_kernel."""
+    fe = tracker.frontend
+    graph = tracker.graph
+    video = tracker.video
+    if not fe.new_frame_added:
+        return None
+    if len(graph.ii) == 0:
+        return None
+    t1 = fe.t1
+    lo = max(0, int(graph.ii.min()))
+    valid_localkf = np.arange(lo, t1)
+    if len(valid_localkf) == 0:
+        return None
+
+    k_cap = int(cfg["mapper"]["kf_capacity"])
+    if len(valid_localkf) > k_cap:
+        valid_localkf = valid_localkf[-k_cap:]
+    K = len(valid_localkf)
+    sel = np.full(k_cap, valid_localkf[-1], np.int64)
+    sel[:K] = valid_localkf
+
+    tracker.local_to_global_bias = video.count_save
+    global_kf_id = sel + video.count_save
+    mw = cfg["middleware"]
+    rgbs, depths, covs, c2ws = _package_kernel(
+        video.bufs, jnp.asarray(sel, jnp.int32), k_cap=k_cap,
+        max_depth=float(mw["max_depth"]), cov_times=float(mw["cov_times"]))
+    H, W = video.ht, video.wd
+    intrinsic = getattr(tracker, "_intr_cache", None)
+    if intrinsic is None:
+        intr = np.asarray(jax.device_get(video.bufs.intrinsics[0])) * 8.0
+        intrinsic = {"fu": float(intr[1]), "fv": float(intr[0]),
+                     "cu": float(intr[3]), "cv": float(intr[2]),
+                     "H": int(H), "W": int(W)}
+        tracker._intr_cache = intrinsic
+    tstamps = np.asarray([video.tstamps_host[i] for i in sel])
+    mask = getattr(tracker, "_pixel_mask_cache", None)
+    if mask is None or mask.shape != (k_cap, H, W):
+        mask = jnp.ones((k_cap, H, W), bool)
+        tracker._pixel_mask_cache = mask
+    return {
+        "images": rgbs,
+        "depths": depths,
+        "depths_cov": covs,
+        "poses": c2ws,
+        "viz_out_idx_to_f_idx": tstamps[:K],
+        "intrinsic": intrinsic,
+        "pixel_mask": mask,
+        "global_kf_id": jnp.asarray(global_kf_id, jnp.int32),
+        "global_kf_id_host": global_kf_id,
+        "valid_localkf_id": valid_localkf,
+        "n_valid": K,
+    }
+
+
 def judge_and_package(tracker, cfg=None):
     cfg = cfg if cfg is not None else tracker.cfg
-    if cfg.get("middleware", {}).get("variant") == "v0_kitti360":
+    variant = cfg.get("middleware", {}).get("variant")
+    if variant == "v0_kitti360":
         return judge_and_package_v0_kitti360(tracker, cfg)
+    if variant == "nerfslam" or cfg.get("mode") == "vo_nerfslam":
+        return judge_and_package_nerfslam(tracker, cfg)
     fe = tracker.frontend
     graph = tracker.graph
     video = tracker.video
