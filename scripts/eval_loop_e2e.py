@@ -26,6 +26,11 @@ def main(argv=None):
     p.add_argument("--lightglue", default=None)
     p.add_argument("--frames", type=int, default=42)
     p.add_argument("--out", default=None)
+    p.add_argument("--skip-baseline", action="store_true",
+                   help="skip the no-loop ATE baseline lane")
+    p.add_argument("--depth-writeback", type=int, default=1,
+                   help="1: rewrite rectified-span disparities from the "
+                        "re-anchored map (harms tracking on soft maps)")
     args = p.parse_args(argv)
 
     from vings_mono_tpu.utils.profiling import enable_compile_cache
@@ -63,6 +68,8 @@ def main(argv=None):
                    "min_gap_from_last": 8, "search_radius": 10.0,
                    "superpoint_weights": args.weights,
                    "lightglue_weights": args.lightglue,
+                   "depth_writeback": bool(args.depth_writeback),
+                   "max_correction": 2.0,
                    "retrain": False},
     })
     # the synthetic3d stream must use sharp textures (what the detector
@@ -102,6 +109,21 @@ def main(argv=None):
     save_trajectory(tracker, work)
     ate = eval_trajectory(work, dataset)
 
+    # no-loop baseline on the SAME trajectory (fresh pipeline state):
+    # post-loop ATE must beat this for the closure to count (VERDICT r3 #1)
+    ate_nl = None
+    if not args.skip_baseline:
+        dataset2, tracker2, mapper2, *_ = build(cfg)
+        dataset2.tex = synthetic3d.texture_params(5, sharpness=1.0)
+        for idx in range(args.frames):
+            tracker2.track(dataset2[idx])
+            vo2 = judge_and_package(tracker2, cfg)
+            if vo2 is not None:
+                mapper2.run(vo2)
+        work2 = tempfile.mkdtemp(prefix="loop_e2e_nl_")
+        save_trajectory(tracker2, work2)
+        ate_nl = eval_trajectory(work2, dataset2)
+
     # per-attempt stage diagnostics (detect.py traces): where attempts die
     traces = looper.detector.traces
     stages = {}
@@ -113,7 +135,9 @@ def main(argv=None):
            "loops_closed": len(looper.closed_at),
            "closed_at": [int(g) for g in looper.closed_at],
            "ate_rmse_m": None if ate is None else float(ate),
+           "ate_no_loop_m": None if ate_nl is None else float(ate_nl),
            "stage_histogram": stages,
+           "loop_traces": looper.loop_traces,
            "traces": traces}
     print(json.dumps(out))
     if args.out:

@@ -166,6 +166,11 @@ def rectify_tracker(tracker, new_c2ws, mapper=None, intrinsic=None,
                 upd["disps_up"] = b.disps_up.at[:e - s].set(
                     jnp.asarray(video.disps_up_save[s:e]))
         tracker.video.bufs = b.replace(**upd)
+        # the bend changed live relative poses: stored edge targets now
+        # encode the OLD geometry and would drag BA back (see
+        # CovisibleGraph.reseed_targets docstring for the measurement)
+        if getattr(tracker, "graph", None) is not None:
+            tracker.graph.reseed_targets()
 
 
 def retrain_gaussians(mapper, video, intrinsic, loop_start=0,

@@ -91,6 +91,30 @@ def _add_edges_kernel(edges: EdgeStore, bufs: VideoBuffers, slots, ii, jj,
     )
 
 
+@functools.partial(jax.jit, donate_argnums=(1, 2))
+def _reseed_targets_kernel(bufs, edges: EdgeStore, inac: InactiveStore,
+                           packed):
+    """Overwrite stored edge targets with the plain reprojection under the
+    CURRENT poses/disps. packed int32 = [e_slots | e_ii | e_jj | e_valid |
+    i_slots | i_ii | i_jj | i_valid], each segment padded to its store
+    capacity so one compiled program serves any edge count."""
+    e = edges.target.shape[0]
+    ic = inac.target.shape[0]
+    es, ei, ej, ev = packed[0:e], packed[e:2 * e], packed[2 * e:3 * e], \
+        packed[3 * e:4 * e] != 0
+    o = 4 * e
+    isl, ii_, ij, iv = packed[o:o + ic], packed[o + ic:o + 2 * ic], \
+        packed[o + 2 * ic:o + 3 * ic], packed[o + 3 * ic:o + 4 * ic] != 0
+    coords, _ = pops.projective_transform(
+        bufs.poses, bufs.disps, bufs.intrinsics,
+        jnp.concatenate([ei, ii_]), jnp.concatenate([ej, ij]))
+    edges = edges.replace(target=edges.target.at[
+        jnp.where(ev, es, e)].set(coords[:e], mode="drop"))
+    inac = inac.replace(target=inac.target.at[
+        jnp.where(iv, isl, ic)].set(coords[e:], mode="drop"))
+    return edges, inac
+
+
 @functools.partial(jax.jit, donate_argnums=(0,))
 def _store_inactive_kernel(inac: InactiveStore, edges: EdgeStore,
                            e_slots, i_slots, valid):
@@ -558,6 +582,35 @@ class CovisibleGraph:
             self.video.bufs, self.edges = _fused_update(
                 *args, **kw, do_ba=True, compute_cov=compute_cov)
         self.age += 1
+
+    # ------------------------------------------------------------------
+    def reseed_targets(self):
+        """Re-seed every stored edge target (active + inactive) to the
+        reprojection under the CURRENT poses/disps. Called after a loop
+        rectification non-rigidly bends the live window: stored targets
+        are pseudo-measurements of the OLD relative geometry, so left in
+        place (a) inactive edges make every subsequent BA update fight
+        the correction with frozen weights, and (b) active edges feed the
+        GRU a garbage motion context (target - coords1 saturates the ±64
+        clip). Measured on the GT-instrumented loop e2e: closure-time ATE
+        improved 0.91 -> 0.78, then post-closure tracking drifted back to
+        1.40 before this re-seed. Weights are kept — the confidence
+        structure of each measurement is still valid."""
+        e, ic = self.e_cap, self.i_cap
+        packed = np.zeros(4 * e + 4 * ic, np.int32)
+        na = len(self.ii)
+        packed[0:na] = self.slot
+        packed[e:e + na] = self.ii
+        packed[2 * e:2 * e + na] = self.jj
+        packed[3 * e:3 * e + na] = 1
+        o = 4 * e
+        nm = len(self.ii_inac)
+        packed[o:o + nm] = self.slot_inac
+        packed[o + ic:o + ic + nm] = self.ii_inac
+        packed[o + 2 * ic:o + 2 * ic + nm] = self.jj_inac
+        packed[o + 3 * ic:o + 3 * ic + nm] = 1
+        self.edges, self.inac = _reseed_targets_kernel(
+            self.video.bufs, self.edges, self.inac, jnp.asarray(packed))
 
     # ------------------------------------------------------------------
     # edge proposal (host logic, device distances)
