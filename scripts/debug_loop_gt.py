@@ -49,7 +49,8 @@ def main():
     runmod.build = spy_build
     e2e.build = spy_build
 
-    out = e2e.main(["--skip-baseline"])
+    import sys
+    out = e2e.main(["--skip-baseline"] + sys.argv[1:])
 
     tracker = captured["tracker"]
     dataset = captured["dataset"]
