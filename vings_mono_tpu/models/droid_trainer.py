@@ -44,8 +44,16 @@ def droid_forward(model: DroidNet, params, batch: TrainBatch,
     coords0 = pops.coords_grid(h, w)
     P = batch.poses_gt.shape[0]
 
-    # initialize poses/disps like training: identity-ish poses, mean disp
-    poses = jnp.tile(lie.se3_identity()[None], (P, 1))
+    # Gauge + scale anchor: the `fixedp` pinned poses start AT ground
+    # truth and the remaining frames at the last pinned pose (constant-
+    # motion init). DROID training fixes the first two poses to GT to pin
+    # the monocular gauge AND scale; initializing everything to identity
+    # while pinning two frames with real GT motion between them makes the
+    # pose loss irreducible (measured: loss plateaued at ~19 in round 3).
+    k = jnp.arange(P)[:, None]
+    anchor = batch.poses_gt[jnp.maximum(fixedp - 1, 0)]
+    poses = jnp.where(k < fixedp, batch.poses_gt,
+                      jnp.broadcast_to(anchor, batch.poses_gt.shape))
     disps = jnp.ones_like(batch.disps_gt)
     edge_valid = jnp.ones(ii.shape[0], bool)
     eta = jnp.full((P, h, w), 1e-2, jnp.float32)
@@ -127,8 +135,17 @@ def make_train_step(model, optimizer, num_steps=6):
         loss, grads = jax.value_and_grad(
             lambda p: droid_training_loss(model, p, batch,
                                           num_steps=num_steps))(params)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
+        # skip-on-nonfinite: a single blown-up clip (ill-conditioned BA on
+        # a large-baseline sample) must not poison params or Adam moments —
+        # keep the old state and move to the next sample
+        good = jnp.isfinite(loss) & jax.tree_util.tree_reduce(
+            lambda a, g: a & jnp.all(jnp.isfinite(g)), grads,
+            jnp.asarray(True))
+        grads = jax.tree.map(lambda g: jnp.where(good, g, 0.0), grads)
+        updates, new_opt = optimizer.update(grads, opt_state, params)
+        new_params = optax.apply_updates(params, updates)
+        keep = lambda new, old: jax.tree.map(
+            lambda n, o: jnp.where(good, n, o), new, old)
+        return keep(new_params, params), keep(new_opt, opt_state), loss
 
     return step
