@@ -253,17 +253,30 @@ def main():
         print(f"gated section failed: {e!r}", file=sys.stderr)
 
     fps = n_meas / dt
-    out = {
-        "metric": "tracking+mapping_fps_synthetic_240x432",
-        "value": round(fps, 3),
-        "unit": "frames/s",
-        "vs_baseline": round(fps / 20.0, 3),
-        "mfu": round(mfu["mfu"], 5),
-        "achieved_tflops": round(mfu["achieved_flops_per_s"] / 1e12, 4),
-    }
+    # Headline = the REFERENCE operating point (motion-filter gate +
+    # keyframe test with the trained weights): BASELINE.md's ~20 FPS
+    # combined tracking+mapping is defined there — the reference keyframes
+    # every 3-5 frames (dbaf.py filter_thresh=2.4), never every frame.
+    # The adversarial all-keyframe lane is kept as `allkf_fps` for
+    # round-over-round comparability (it was the headline through r3).
     if gated_fps is not None:
-        out["gated_fps"] = gated_fps
-        out["gated_keyframe_frac"] = gated_kf_frac
+        out = {
+            "metric": "gated_tracking+mapping_fps_synthetic_240x432",
+            "value": gated_fps,
+            "unit": "frames/s",
+            "vs_baseline": round(gated_fps / 20.0, 3),
+            "allkf_fps": round(fps, 3),
+            "gated_keyframe_frac": gated_kf_frac,
+        }
+    else:
+        out = {
+            "metric": "tracking+mapping_fps_synthetic_240x432",
+            "value": round(fps, 3),
+            "unit": "frames/s",
+            "vs_baseline": round(fps / 20.0, 3),
+        }
+    out["mfu"] = round(mfu["mfu"], 5)
+    out["achieved_tflops"] = round(mfu["achieved_flops_per_s"] / 1e12, 4)
     print(json.dumps(out))
 
 
