@@ -27,7 +27,11 @@ from vings_mono_tpu.models.dpt_depth import DPTDepth
 from vings_mono_tpu.utils.profiling import enable_compile_cache
 
 H, W = 128, 160          # multiples of 16 (ViT patch grid)
-ARCH = {"dim": 192, "depth": 6, "taps": (1, 3, 5)}
+# hw = the net's CANONICAL resolution: the learned pos-embedding is
+# resolution-fixed, so inference resizes inputs here and the depth map
+# back (the reference's Metric3D likewise runs at its own input size,
+# metric_model.py:38-56)
+ARCH = {"dim": 192, "depth": 6, "taps": (1, 3, 5), "hw": (128, 160)}
 
 
 def sample(rng):

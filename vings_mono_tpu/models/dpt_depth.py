@@ -69,6 +69,7 @@ def load_dpt(weights_path=None):
     scripts/train_metric_depth.py) reconstructs that architecture; plain
     checkpoints get the ViT-S default."""
     model = DPTDepth()
+    hw = None
     if weights_path is None:
         params = model.init(jax.random.PRNGKey(0),
                             jnp.zeros((1, 64, 64, 3)))
@@ -79,6 +80,21 @@ def load_dpt(weights_path=None):
             arch = data["arch"].item()
             model = DPTDepth(dim=int(arch["dim"]), depth=int(arch["depth"]),
                              taps=tuple(arch["taps"]))
+            if "hw" in arch:
+                hw = tuple(int(v) for v in arch["hw"])
         params = {"params": data["params"].item()}
-    predict = jax.jit(lambda p, x: model.apply(p, x))
+
+    @jax.jit
+    def predict(p, x):
+        # the learned pos-embedding fixes the patch grid: run at the
+        # checkpoint's canonical resolution and resize the depth map back
+        # (same contract as the reference's Metric3D wrapper,
+        # metric_model.py:38-56)
+        B, H, W = x.shape[0], x.shape[1], x.shape[2]
+        if hw is not None and (H, W) != hw:
+            xi = jax.image.resize(x, (B, hw[0], hw[1], 3), "bilinear")
+            d = model.apply(p, xi)
+            return jax.image.resize(d, (B, H, W), "bilinear")
+        return model.apply(p, x)
+
     return model, params, predict
