@@ -24,6 +24,10 @@ def main(argv=None):
                    default="vings_mono_tpu/weights/"
                            "superpoint_selftrained.npz")
     p.add_argument("--lightglue", default=None)
+    p.add_argument("--droid-weights",
+                   default="vings_mono_tpu/weights/droid_selftrained.npz",
+                   help="tracker flow net (reference runs droid.pth here; "
+                        "'' = random init)")
     p.add_argument("--frames", type=int, default=42)
     p.add_argument("--out", default=None)
     p.add_argument("--skip-baseline", action="store_true",
@@ -58,6 +62,8 @@ def main(argv=None):
             "ba_window": 16, "iters1": 2, "iters2": 1,
             "active_window": 12, "max_age": 12, "rollup_at": 48,
             "rollup_n": 16, "save_buffer": 256,
+            **({"weight": args.droid_weights} if args.droid_weights
+               else {}),
         },
         "training_args": {"iters": 16, "num_keyframe": 5},
         "mapper": {"capacity": 1 << 17, "pair_capacity": 1 << 17,

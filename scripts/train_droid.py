@@ -17,6 +17,7 @@ Run (TPU): PYTHONPATH=/root/repo:/root/.axon_site \
 """
 
 import argparse
+import os
 import queue
 import threading
 import time
@@ -50,7 +51,8 @@ def random_clip(rng):
     f = rng.uniform(0.8, 1.1) * W
     intr = np.asarray([f, f, W / 2, H / 2], np.float32)
 
-    ms = rng.uniform(0.5, 2.0)
+    ms = rng.uniform(float(os.environ.get("DROID_MS_LO", 0.5)),
+                     float(os.environ.get("DROID_MS_HI", 2.0)))
     # smooth random walk that stays inside the room
     pos = rng.uniform(-0.35, 0.35, 3) * room
     vel = rng.normal(size=3) * 0.06 * ms
