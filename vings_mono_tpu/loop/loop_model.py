@@ -126,7 +126,12 @@ class LoopModel:
                 (np.trace(corr[:3, :3]) - 1) / 2, -1, 1))))
             trace = {"cur_gid": int(cur_gid), "cand_gid": int(cand),
                      "corr_t": float(np.linalg.norm(corr[:3, 3])),
-                     "disp_t": disp_t, "corr_rot_deg": rot_deg}
+                     "disp_t": disp_t, "corr_rot_deg": rot_deg,
+                     # cand->cur relative pose as MEASURED by PnP (internal
+                     # gauge) — evals compare it against GT to separate
+                     # detection bias from rectification damage
+                     "rel_meas": (np.linalg.inv(new_hist_c2w)
+                                  @ cur_c2w).tolist()}
             # correction-magnitude gate: PnP on ambiguous structure can
             # pass RANSAC *and* render-verify with a wildly wrong pose
             # (measured: a 5.1 m endpoint displacement in a 4 m room with
