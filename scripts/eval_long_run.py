@@ -1,0 +1,164 @@
+"""Long-trajectory integration eval (VERDICT r4 ask #6): a 300+-frame
+synthetic3d run at the reference's workload shape — real drift over
+multiple revolutions of the room, loop closures every few keyframes
+(ref run.py:92-94), storage paging (ref run.py:96-98), and a GlobalBA
+terminate pass (ref visual_frontend.py:1460-1542) — with ATE measured at
+each stage. This is the scale where the loop/storage/GlobalBA stack has
+to earn its keep; the 42-frame loop eval cannot show that.
+
+Run (TPU):
+PYTHONPATH=/root/repo:/root/.axon_site python scripts/eval_long_run.py \
+    --out eval/long_run.json
+"""
+
+import argparse
+import json
+import os
+import shutil
+import tempfile
+
+import numpy as np
+
+
+def _cfg(args, use_loop, use_storage, use_gba):
+    from vings_mono_tpu.utils.config import load_config
+    return load_config(overrides={
+        "mode": "vo",
+        "use_loop": use_loop,
+        "use_storage_manager": use_storage,
+        "use_global_ba": use_gba,
+        "dataset": {"module": "synthetic3d", "n_frames": args.frames,
+                    "room": 4.0, "revs": args.revs, "tex_seed": 5,
+                    "sharpness": 1.0},
+        "intrinsic": {"fu": 200.0, "fv": 200.0, "cu": 120.0, "cv": 80.0,
+                      "H": 240, "W": 160},
+        "frontend": {
+            "image_size": [240, 160], "buffer": 64, "warm_up": 8,
+            # trained-gate operating point: the motion filter decides
+            # keyframes (reference: filter_thresh 2.4 w/ official weights)
+            "filter_thresh": args.filter_thresh, "keyframe_thresh": 0.0,
+            "frontend_thresh": 1e9, "frontend_window": 12,
+            "frontend_radius": 2, "frontend_nms": 1, "max_factors": 48,
+            "edge_capacity": 64, "inactive_capacity": 128,
+            "ba_window": 16, "iters1": 2, "iters2": 1,
+            "active_window": 12, "max_age": 12, "rollup_at": 48,
+            "rollup_n": 16, "save_buffer": 512,
+            "weight": args.droid_weights,
+        },
+        "training_args": {"iters": 16, "num_keyframe": 5},
+        "mapper": {"capacity": 1 << 18, "pair_capacity": 1 << 17,
+                   "chunk": 128, "side": 3, "visible_capacity": 1 << 15,
+                   "kf_capacity": 8, "points_per_frame": 8000,
+                   "points_first_frame": 16000},
+        "looper": {"every": 3, "start_after": 12, "min_history": 12,
+                   "min_gap_from_last": 8, "search_radius": 10.0,
+                   "superpoint_weights": args.weights,
+                   "lightglue_weights": args.lightglue,
+                   "depth_writeback": True,
+                   "retrain": False},
+        # page out keyframes more than ~a half-room away (internal gauge
+        # is ~0.5x GT on this stream, so the far side of the circle
+        # crosses the threshold and pages every revolution)
+        "storage_manager": {"every": 10,
+                            "distance_threshold": args.page_dist},
+    })
+
+
+def _ate(tracker, dataset):
+    from vings_mono_tpu.runners.evaluate import eval_trajectory
+    from vings_mono_tpu.utils.trajectory import save_trajectory
+    d = tempfile.mkdtemp(prefix="long_run_ate_")
+    save_trajectory(tracker, d)
+    a = eval_trajectory(d, dataset)
+    shutil.rmtree(d, ignore_errors=True)
+    return None if a is None else float(a)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--frames", type=int, default=320)
+    p.add_argument("--revs", type=float, default=2.2)
+    p.add_argument("--filter-thresh", type=float, default=1.75)
+    p.add_argument("--page-dist", type=float, default=1.2)
+    p.add_argument("--weights", default="vings_mono_tpu/weights/"
+                                        "superpoint_selftrained.npz")
+    p.add_argument("--lightglue", default=None)
+    p.add_argument("--droid-weights",
+                   default="vings_mono_tpu/weights/droid_selftrained.npz")
+    p.add_argument("--out", default=None)
+    p.add_argument("--skip-baseline", action="store_true")
+    args = p.parse_args(argv)
+
+    from vings_mono_tpu.utils.profiling import enable_compile_cache
+    enable_compile_cache()
+    from vings_mono_tpu.runners.run import build
+    from vings_mono_tpu.middleware import judge_and_package
+    from vings_mono_tpu.runners.evaluate import eval_psnr
+    from vings_mono_tpu.datasets import synthetic3d
+    from vings_mono_tpu.tracker.backend import GlobalBA
+
+    def lane(use_loop, use_storage, use_gba):
+        cfg = _cfg(args, use_loop, use_storage, use_gba)
+        dataset, tracker, mapper, looper, storage, _, _ = build(cfg)
+        dataset.tex = synthetic3d.texture_params(5, sharpness=1.0)
+        kf_count = 0
+        peak_gauss = 0
+        closure_deltas = []
+        for idx in range(args.frames):
+            tracker.track(dataset[idx])
+            viz_out = judge_and_package(tracker, cfg)
+            if viz_out is not None:
+                mapper.run(viz_out)
+                kf_count += 1
+                if looper is not None and \
+                        kf_count > cfg["looper"]["start_after"] and \
+                        kf_count % cfg["looper"]["every"] == 0:
+                    n_before = len(looper.closed_at)
+                    ate_b = _ate(tracker, dataset)
+                    looper.run(mapper, tracker, viz_out, idx)
+                    if len(looper.closed_at) > n_before:
+                        closure_deltas.append(
+                            {"at_gid": int(looper.closed_at[-1]),
+                             "ate_before": ate_b,
+                             "ate_after": _ate(tracker, dataset)})
+            if storage is not None and idx % 10 == 9 and viz_out is not None:
+                storage.run(tracker, mapper, viz_out)
+            peak_gauss = max(peak_gauss, int(mapper.n_alive)
+                             + (storage.n_host if storage else 0))
+        out = {"keyframes": kf_count,
+               "ate_online_m": _ate(tracker, dataset),
+               "peak_gaussians": peak_gauss,
+               "closure_deltas": closure_deltas}
+        if looper is not None:
+            out["loops_closed"] = len(looper.closed_at)
+            out["closed_at"] = [int(g) for g in looper.closed_at]
+            out["loop_traces"] = looper.loop_traces
+        if storage is not None:
+            out["pages_out"] = storage.pages_out
+            out["pages_in"] = storage.pages_in
+            out["evict_events"] = storage.evict_events
+            out["pagein_events"] = storage.pagein_events
+            out["host_rows_end"] = storage.n_host
+        if use_gba:
+            stats = GlobalBA(tracker, cfg).run()
+            out["global_ba"] = {k: int(v) if isinstance(v, (int, np.integer))
+                                else bool(v) for k, v in stats.items()}
+            out["ate_after_global_ba_m"] = _ate(tracker, dataset)
+        out["psnr"] = eval_psnr(mapper, tracker)
+        out["psnr"] = None if out["psnr"] is None else float(out["psnr"])
+        return out
+
+    full = lane(use_loop=True, use_storage=True, use_gba=True)
+    res = {"frames": args.frames, "revs": args.revs, "full": full}
+    if not args.skip_baseline:
+        res["no_loop"] = lane(use_loop=False, use_storage=True,
+                              use_gba=False)
+    print(json.dumps(res))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(res, f, indent=2)
+    return res
+
+
+if __name__ == "__main__":
+    main()

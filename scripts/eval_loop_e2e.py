@@ -76,7 +76,6 @@ def main(argv=None):
                    "superpoint_weights": args.weights,
                    "lightglue_weights": args.lightglue,
                    "depth_writeback": bool(args.depth_writeback),
-                   "max_correction": 2.0,
                    "retrain": False},
     })
     # the synthetic3d stream must use sharp textures (what the detector
@@ -85,10 +84,10 @@ def main(argv=None):
     dataset, tracker, mapper, looper, storage, metric, dynamic = build(cfg)
     dataset.tex = synthetic3d.texture_params(5, sharpness=1.0)
 
-    # relax verification for the tiny synthetic map (the 0.15 photometric
-    # gate assumes a converged map; 16-iter training renders are softer)
-    detect_kw = dict(min_matches=25, verify_thresh=0.35)
-
+    # PRODUCT thresholds, no eval-side relaxation (VERDICT r4 weak #5):
+    # the verify gate self-calibrates against the map's own render error
+    # at the trusted current pose (detect.verify_floor), so soft
+    # briefly-trained maps need no injected overrides
     work = tempfile.mkdtemp(prefix="loop_e2e_")
     os.makedirs(os.path.join(work, "ply"), exist_ok=True)
     kf_count = 0
@@ -98,7 +97,6 @@ def main(argv=None):
     def counted_detect(*a, **kw):
         nonlocal detect_attempts
         detect_attempts += 1
-        kw.update(detect_kw)
         return orig_detect(*a, **kw)
 
     looper.detector.detect = counted_detect
@@ -146,18 +144,22 @@ def main(argv=None):
             continue
         rel_gt = np.linalg.inv(dataset.gt_c2w(int(t_cand))) @ \
             dataset.gt_c2w(int(t_cur))
-        rel_m = np.asarray(tr2["rel_meas"])
-        rot_err = np.degrees(np.arccos(np.clip(
-            (np.trace(rel_gt[:3, :3].T @ rel_m[:3, :3]) - 1) / 2, -1, 1)))
-        tm, tg = rel_m[:3, 3], rel_gt[:3, 3]
-        cosang = float(tm @ tg / (np.linalg.norm(tm) *
-                                  np.linalg.norm(tg) + 1e-12))
-        tr2["gt_rot_err_deg"] = float(rot_err)
-        tr2["gt_t_dir_deg"] = float(np.degrees(np.arccos(
-            np.clip(cosang, -1, 1))))
-        tr2["gt_t_ratio"] = float(np.linalg.norm(tm) /
-                                  (np.linalg.norm(tg) + 1e-12))
-        del tr2["rel_meas"]
+        for key, pre in (("rel_meas", "gt"), ("rel_track", "track")):
+            if key not in tr2:
+                continue
+            rel_m = np.asarray(tr2[key])
+            rot_err = np.degrees(np.arccos(np.clip(
+                (np.trace(rel_gt[:3, :3].T @ rel_m[:3, :3]) - 1) / 2,
+                -1, 1)))
+            tm, tg = rel_m[:3, 3], rel_gt[:3, 3]
+            cosang = float(tm @ tg / (np.linalg.norm(tm) *
+                                      np.linalg.norm(tg) + 1e-12))
+            tr2[f"{pre}_rot_err_deg"] = float(rot_err)
+            tr2[f"{pre}_t_dir_deg"] = float(np.degrees(np.arccos(
+                np.clip(cosang, -1, 1))))
+            tr2[f"{pre}_t_ratio"] = float(np.linalg.norm(tm) /
+                                          (np.linalg.norm(tg) + 1e-12))
+            del tr2[key]
 
     # no-loop baseline on the SAME trajectory (fresh pipeline state):
     # post-loop ATE must beat this for the closure to count (VERDICT r3 #1)

@@ -84,10 +84,13 @@ def render_room(c2w, intr, h, w, room=4.0, tex=None):
     return rgb, depth
 
 
-def trajectory_c2w(k, n, room=4.0):
+def trajectory_c2w(k, n, room=4.0, revs=0.6):
     """Smooth loop inside the room: circle in xz + gentle y bob + slow yaw
-    following the motion direction. ~0.08 units translation per frame."""
-    th = 2.0 * np.pi * k / max(n, 1) * 0.6
+    following the motion direction. ~0.08 units translation per frame.
+    revs = fraction of a full circle covered over the n frames; every term
+    is a function of th, so revs > 1 revisits earlier poses EXACTLY —
+    the long-trajectory eval uses that to trigger genuine loop closures."""
+    th = 2.0 * np.pi * k / max(n, 1) * revs
     rad = 0.45 * room
     pos = np.asarray([rad * np.sin(th), 0.3 * np.sin(2.1 * th),
                       rad * np.cos(th) - 0.2 * room])
@@ -111,17 +114,19 @@ class Synthetic3DDataset:
         ds = cfg["dataset"]
         self.n = int(ds.get("n_frames", 60))
         self.room = float(ds.get("room", 4.0))
+        self.revs = float(ds.get("revs", 0.6))
         f = float(ds.get("focal", 0.9 * self.w))
         self.intr = np.asarray([f, f, self.w / 2, self.h / 2], np.float32)
         self.with_depth = bool(ds.get("with_depth", False))
-        self.tex = texture_params(int(ds.get("tex_seed", 0)))
+        self.tex = texture_params(int(ds.get("tex_seed", 0)),
+                                  sharpness=float(ds.get("sharpness", 0.0)))
         self.c2i = np.eye(4)
 
     def __len__(self):
         return self.n
 
     def gt_c2w(self, k):
-        return trajectory_c2w(k, self.n, self.room)
+        return trajectory_c2w(k, self.n, self.room, self.revs)
 
     def __getitem__(self, k):
         c2w = self.gt_c2w(k)

@@ -180,7 +180,34 @@ class LoopDetector:
             dep_c = np.asarray(rcur["depth"])[0]
             use_rend = (acc_c > 0.9) & (dep_c > 0.05)
             tr["rend_frac"] = float(use_rend.mean())
-            pnp_depth = np.where(use_rend, dep_c, cur_depth)
+            # gauge repair: on a briefly-trained map the rendered expected
+            # depth is CONTRACTED toward the camera (floaters + fore/back
+            # mixing at edges), which shrinks the PnP translation by the
+            # same factor and teleports the correction (measured r5:
+            # |t_meas|/|t_track| ~ 0.25-0.3 with raw rendered depth).
+            # The rendered depth's SHAPE is multi-view consistent (good
+            # for RANSAC); its SCALE must come from the tracker's own
+            # depth gauge, or the correction leaves the trajectory's gauge
+            both = use_rend & (cur_depth > 0.05)
+            if both.sum() > 100:
+                ratio = cur_depth[both] / dep_c[both]
+                s_med = float(np.median(ratio))
+                tr["depth_ratio_med"] = s_med
+                pnp_depth = np.where(use_rend, dep_c * s_med, cur_depth)
+            else:
+                pnp_depth = np.where(use_rend, dep_c, cur_depth)
+            # noise floor for the photometric verify gate: how well the
+            # map explains the CURRENT image from the TRUSTED tracked pose.
+            # A converged map gives ~0.02-0.05 (the reference's absolute
+            # 0.15 gate applies); a briefly-trained map renders soft
+            # everywhere, and holding a candidate to a bar the map cannot
+            # meet at a known-good pose rejects every genuine closure
+            m_self = (acc_c > 0.95) & (dep_c < 15.0)
+            if m_self.sum() > 500:
+                pred_self = np.moveaxis(np.asarray(rcur["rgb"]), 0, -1)
+                err_self = np.abs(pred_self -
+                                  np.asarray(cur_img)).mean(-1)
+                tr["verify_floor"] = float(err_self[m_self].mean())
         new_c2w = self.pnp_history_pose(kp_c, kp_h, pnp_depth, cur_c2w,
                                         intr4, trace=tr,
                                         min_inliers=min_inliers)
@@ -208,7 +235,14 @@ class LoopDetector:
         pred = np.moveaxis(np.asarray(rets["rgb"]), 0, -1)
         err = np.abs(pred - np.asarray(hist_img)).mean(-1)
         tr["verify_err"] = float(err[m].mean())
-        if tr["verify_err"] > verify_thresh:
+        # self-calibrating gate: absolute reference threshold, relaxed to
+        # 1.5x the map's own render error at the trusted current pose
+        # when the map is still soft (see verify_floor above)
+        gate = verify_thresh
+        if tr.get("verify_floor") is not None:
+            gate = max(gate, 1.5 * tr["verify_floor"])
+        tr["verify_gate"] = float(gate)
+        if tr["verify_err"] > gate:
             return None
         tr["stage"] = "ok"
         return new_c2w

@@ -28,10 +28,22 @@ class LoopModel:
         self.closed_at = []          # global kf ids of accepted loops
         self.loop_traces = []        # accepted-closure diagnostics
         self.min_inliers = int(lcfg.get("min_inliers", 30))
-        # reject corrections that teleport the loop endpoint further than
-        # this (drift is bounded by trajectory scale; see run())
-        self.max_correction = float(lcfg.get("max_correction",
-                                             0.5 * self.search_radius))
+        # drift-aware correction gate (run()): monocular drift grows with
+        # distance traveled, so the endpoint teleport a closure applies is
+        # bounded by drift_frac x the path length of the cand..cur chain
+        # (the reference pairs a 15 m absolute sanity gate with a len>35
+        # policy, loop_detect.py:156-157 + loop_model.py:21-38; a flat
+        # cap admits corrections larger than the drift they fix)
+        # 0.8: genuine drift on a weak-net monocular tracker reaches
+        # 0.5-0.8x path length (measured r5: needed endpoint corrections
+        # 0.66-1.1 on 1.2-2.1 paths, rot drift 10-33 deg), while the
+        # misassociation class this gate exists for teleports 2-3x the
+        # path (the r4 5.1 m case on a ~2.5 path)
+        self.drift_frac = float(lcfg.get("drift_frac", 0.8))
+        self.max_correction = lcfg.get("max_correction")  # optional abs cap
+        # "track": express the measured translation magnitude in the
+        # chain's own gauge (see run()); "none": trust PnP magnitude
+        self.rescale_t = str(lcfg.get("rescale_t", "track"))
         # GPS/manual candidate pairs [(cur_gid, cand_gid), ...] — the
         # loop_model_gps.py variant (SURVEY §2.5)
         self.manual_candidates = list(lcfg.get("manual_candidates", []))
@@ -118,8 +130,31 @@ class LoopModel:
             # between cand..cur is distributed by the per-edge scale PGO —
             # the target for the current frame comes from the relative pose
             # measured by PnP: T_cur_target = c2w_hist @ inv(new_hist) @ cur
-            corr = c2ws[cand] @ np.linalg.inv(new_hist_c2w)
-            target_cur = corr @ cur_c2w
+            rel_meas = np.linalg.inv(new_hist_c2w) @ cur_c2w
+            rel_track = np.linalg.inv(c2ws[cand]) @ cur_c2w
+            # Sim3-style gauge repair (monocular): the PnP translation
+            # magnitude lives in the DEPTH gauge, the stored chain in the
+            # POSITION gauge — on a tracker with depth/translation gauge
+            # inconsistency (measured r5: disparities pinned near init
+            # while poses integrate ~3x larger; scripts/debug_disp_gauge)
+            # trusting the raw magnitude teleports the endpoint ~3x the
+            # real drift. Rotation and bearing transfer gauge-free, so the
+            # closure corrects those and expresses the magnitude in the
+            # chain's own gauge (what ORB-SLAM's Sim3 closures solve for;
+            # the reference's per-edge scale PGO plays the same role,
+            # loop_rectify.py:209-253)
+            if self.rescale_t == "track":
+                nm = float(np.linalg.norm(rel_meas[:3, 3]))
+                nt = float(np.linalg.norm(rel_track[:3, 3]))
+                rel_used = rel_meas.copy()
+                if nm > 1e-9:
+                    rel_used[:3, 3] *= nt / nm
+                else:
+                    rel_used[:3, 3] = rel_track[:3, 3]
+            else:
+                rel_used = rel_meas
+            target_cur = c2ws[cand] @ rel_used
+            corr = target_cur @ np.linalg.inv(cur_c2w)
             disp_t = float(np.linalg.norm(target_cur[:3, 3] -
                                           cur_c2w[:3, 3]))
             rot_deg = float(np.degrees(np.arccos(np.clip(
@@ -130,16 +165,28 @@ class LoopModel:
                      # cand->cur relative pose as MEASURED by PnP (internal
                      # gauge) — evals compare it against GT to separate
                      # detection bias from rectification damage
-                     "rel_meas": (np.linalg.inv(new_hist_c2w)
-                                  @ cur_c2w).tolist()}
+                     "rel_meas": rel_meas.tolist(),
+                     # the same relative pose as the TRACKER currently
+                     # stores it: its GT ratio exposes the internal gauge
+                     # scale, so meas/track ratio isolates PnP depth-scale
+                     # inconsistency from the benign monocular gauge
+                     "rel_track": rel_track.tolist()}
             # correction-magnitude gate: PnP on ambiguous structure can
             # pass RANSAC *and* render-verify with a wildly wrong pose
             # (measured: a 5.1 m endpoint displacement in a 4 m room with
             # verify L1 0.16 — better than a genuine closure's 0.18).
-            # Drift between cand..cur is bounded by the accumulated
-            # trajectory scale; a correction teleporting the endpoint
-            # further than max_correction is rejected as misassociation
-            if disp_t > self.max_correction:
+            # Drift is proportional to distance traveled, so the allowed
+            # endpoint teleport scales with the cand..cur path length; a
+            # larger correction is rejected as misassociation
+            seg = c2ws[cand:cur_gid + 1, :3, 3]
+            path_len = float(np.linalg.norm(np.diff(seg, axis=0),
+                                            axis=-1).sum())
+            gate = self.drift_frac * path_len
+            if self.max_correction is not None:
+                gate = min(gate, float(self.max_correction))
+            trace["path_len"] = path_len
+            trace["corr_gate"] = gate
+            if disp_t > gate:
                 trace["rejected"] = "max_correction"
                 self.loop_traces.append(trace)
                 continue

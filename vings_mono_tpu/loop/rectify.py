@@ -171,6 +171,11 @@ def rectify_tracker(tracker, new_c2ws, mapper=None, intrinsic=None,
         # CovisibleGraph.reseed_targets docstring for the measurement)
         if getattr(tracker, "graph", None) is not None:
             tracker.graph.reseed_targets()
+        # the prefetched keyframe-decision distance was computed from
+        # PRE-rectification poses; a post-closure keyframe decision must
+        # not consume it
+        if getattr(tracker, "frontend", None) is not None:
+            tracker.frontend._kf_dist_prefetch = None
 
 
 def retrain_gaussians(mapper, video, intrinsic, loop_start=0,

@@ -209,9 +209,15 @@ def _train_loop_impl(state: GaussianState, opt: SparseAdamState,
             gp = mean(gp)
             metrics = mean(metrics)
             cur0_dev = cur[:, 0] * w
-            cur = jax.lax.psum(cur * w, axis_name)
-            # accumulators use the psum'd totals; attribution uses the
-            # per-device max + its keyframe id (arg-max over devices)
+            # normalize the ADDITIVE score accumulation by the number of
+            # contributing devices: per-iteration score growth (and so the
+            # pruning/stable-mask thresholds tuned at dp=1, e.g.
+            # rectify_gaussians score_prune) must not scale with dp; the
+            # max-combined column keeps its max semantics via pmax
+            cur0 = jax.lax.psum(cur0_dev, axis_name) / denom
+            cur1 = jax.lax.pmax(cur[:, 1] * w, axis_name)
+            # attribution uses the per-device max + its keyframe id
+            # (arg-max over devices)
             best0 = jax.lax.pmax(cur0_dev, axis_name)
             gid_kf = jax.lax.pmax(
                 jnp.where((cur0_dev >= best0) & dev_valid, gid_kf,
@@ -222,7 +228,6 @@ def _train_loop_impl(state: GaussianState, opt: SparseAdamState,
                 gs = mean(gs)
                 sky_vis = jax.lax.psum(
                     (sky_vis & dev_valid).astype(jnp.int32), axis_name) > 0
-            cur0, cur1 = cur[:, 0], cur[:, 1]
         else:
             cur0, cur1 = cur[:, 0], cur[:, 1]
             best0 = cur0

@@ -31,6 +31,11 @@ class StorageManager:
         self.n_host = 0
         # 0 = host, 1 = device; grows with the global keyframe count
         self.place = np.zeros(0, np.float32)
+        # cumulative paging stats (rows moved / events) for observability
+        self.pages_out = 0
+        self.pages_in = 0
+        self.evict_events = 0
+        self.pagein_events = 0
 
     def _ensure_host(self, like):
         if self.host["xyz"] is None:
@@ -87,6 +92,8 @@ class StorageManager:
         self.n_host = len(self.host["xyz"])
         mapper.state = kill_rows(mapper.state, jnp.asarray(m))
         self.place[far_kf] = 0
+        self.pages_out += int(m.sum())
+        self.evict_events += 1
 
     def cpu2gpu(self, mapper, dist):
         near_kf = np.where((self.place[:len(dist)] == 0)
@@ -130,6 +137,8 @@ class StorageManager:
             self.host[f] = self.host[f][kept]
         self.n_host = len(self.host["xyz"])
         self.place[near_kf] = 1
+        self.pages_in += int(np.asarray(valid[:n]).sum())
+        self.pagein_events += 1
         # paged-in rows exist in no cached binning row — they would
         # silently not render until the round-robin cache cycles past them
         mapper.invalidate_binning()

@@ -363,13 +363,18 @@ class GlobalBA:
                     jnp.asarray(gv), free, iters=self.gn_iters)
             else:
                 # banded pose system + PCG: the Schur complement fills in
-                # up to 2x the edge band
+                # up to 2x the edge span, so the band must cover the
+                # LONGEST edge actually proposed (a loop edge beyond the
+                # proposal band would otherwise be silently dropped from
+                # the pose system); widening to t_cap-1 degenerates to the
+                # full matrix, which stays correct, just denser
+                max_span = int(np.max(np.abs(ii_p[:E] - jj_p[:E])))
                 dev["poses"], dev["disps"] = ba_ops.ba_global_banded(
                     dev["target"], dev["weight"], dev["eta"], dev["poses"],
                     dev["disps"], dev["intr"], jnp.asarray(ii_p),
                     jnp.asarray(jj_p), valid_dev, jnp.asarray(gi),
                     jnp.asarray(gv), free, iters=self.gn_iters,
-                    band=min(2 * self.band, t_cap - 1),
+                    band=min(max(2 * self.band, 2 * max_span), t_cap - 1),
                     cg_iters=self.cg_iters)
 
         # ---- write back --------------------------------------------------
