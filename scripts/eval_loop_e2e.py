@@ -29,13 +29,38 @@ def main(argv=None):
                    default="vings_mono_tpu/weights/droid_selftrained.npz",
                    help="tracker flow net (reference runs droid.pth here; "
                         "'' = random init)")
-    p.add_argument("--frames", type=int, default=42)
+    p.add_argument("--frames", type=int, default=160)
+    p.add_argument("--revs", type=float, default=1.6,
+                   help="trajectory revolutions: >1 gives genuine "
+                        "revisits after systematic drift accumulates — "
+                        "the regime loop closure exists for (the "
+                        "reference only loops after len>35 history, "
+                        "loop_model.py:21-38; on a 42-frame noise-"
+                        "dominated toy even GT-target closures cannot "
+                        "reduce Umeyama ATE, measured r5)")
+    p.add_argument("--min-history", type=int, default=35)
+    p.add_argument("--every", type=int, default=3)
+    p.add_argument("--points-per-frame", type=int, default=4000)
+    p.add_argument("--iters1", type=int, default=2)
+    p.add_argument("--iters2", type=int, default=1)
+    p.add_argument("--metric-weights", default=None,
+                   help="DPT metric-depth weights: enables use_metric so "
+                        "disps_sens pins the depth gauge (the reference's "
+                        "Metric3D path, metric_model.py:38-56 -> "
+                        "depth_video.py:176-178)")
     p.add_argument("--out", default=None)
     p.add_argument("--skip-baseline", action="store_true",
                    help="skip the no-loop ATE baseline lane")
-    p.add_argument("--depth-writeback", type=int, default=1,
+    p.add_argument("--depth-writeback", type=int, default=0,
                    help="1: rewrite rectified-span disparities from the "
-                        "re-anchored map (harms tracking on soft maps)")
+                        "re-anchored map (measured r4+r5: soft rendered "
+                        "depth in live-window disparities degrades "
+                        "subsequent tracking)")
+    p.add_argument("--gt-target", action="store_true",
+                   help="diagnostic ceiling: bypass PnP and derive the "
+                        "closure target from dataset GT (still gauge-"
+                        "rescaled) — isolates rectification machinery "
+                        "quality from measurement quality")
     args = p.parse_args(argv)
 
     from vings_mono_tpu.utils.profiling import enable_compile_cache
@@ -51,7 +76,8 @@ def main(argv=None):
         "mode": "vo",
         "use_loop": True,
         "dataset": {"module": "synthetic3d", "n_frames": args.frames,
-                    "room": 4.0, "tex_seed": 5, "sharpness": 1.0},
+                    "room": 4.0, "revs": args.revs, "tex_seed": 5,
+                    "sharpness": 1.0},
         "intrinsic": {"fu": 200.0, "fv": 200.0, "cu": 120.0, "cv": 80.0,
                       "H": 240, "W": 160},
         "frontend": {
@@ -60,23 +86,30 @@ def main(argv=None):
             "frontend_thresh": 1e9, "frontend_window": 12,
             "frontend_radius": 2, "frontend_nms": 1, "max_factors": 48,
             "edge_capacity": 64, "inactive_capacity": 128,
-            "ba_window": 16, "iters1": 2, "iters2": 1,
+            "ba_window": 16, "iters1": args.iters1,
+            "iters2": args.iters2,
             "active_window": 12, "max_age": 12, "rollup_at": 48,
             "rollup_n": 16, "save_buffer": 256,
             **({"weight": args.droid_weights} if args.droid_weights
                else {}),
         },
         "training_args": {"iters": 16, "num_keyframe": 5},
-        "mapper": {"capacity": 1 << 17, "pair_capacity": 1 << 17,
+        "mapper": {"capacity": 1 << 18, "pair_capacity": 1 << 17,
                    "chunk": 128, "side": 3, "visible_capacity": 1 << 15,
-                   "kf_capacity": 8, "points_per_frame": 8000,
+                   "kf_capacity": 8,
+                   "points_per_frame": args.points_per_frame,
                    "points_first_frame": 16000},
-        "looper": {"every": 2, "start_after": 12, "min_history": 12,
+        "looper": {"every": args.every, "start_after": 12,
+                   "min_history": args.min_history,
                    "min_gap_from_last": 8, "search_radius": 10.0,
                    "superpoint_weights": args.weights,
                    "lightglue_weights": args.lightglue,
                    "depth_writeback": bool(args.depth_writeback),
                    "retrain": False},
+        **({"use_metric": True,
+            "metric": {"backend": "flax",
+                       "weights": args.metric_weights,
+                       "d_max": 80.0}} if args.metric_weights else {}),
     })
     # the synthetic3d stream must use sharp textures (what the detector
     # was trained on — smooth sinusoids have no localizable corners)
@@ -101,6 +134,29 @@ def main(argv=None):
 
     looper.detector.detect = counted_detect
 
+    if args.gt_target:
+        # replace the detect measurement with the GT relative pose: the
+        # looper sees new_hist_c2w = cur @ inv(rel_gt), so rel_meas ==
+        # rel_gt exactly (gauge rescale still applies downstream)
+        def gt_detect(mapper_, cur_img, cur_depth, cur_c2w, hist_img,
+                      hist_c2w_guess, intr_, **kw):
+            nonlocal detect_attempts
+            detect_attempts += 1
+            # recover which (cand, cur) this is from the pose guesses
+            ts_all = list(np.asarray(tracker.video._tstamp_save[
+                :tracker.video.count_save])) + tracker.video.tstamps_host
+            cur_t = int(round(float(ts_all[-1])))
+            c2ws_h, _ = looper._history(tracker)
+            d = np.linalg.norm(c2ws_h[:, :3, 3]
+                               - np.asarray(hist_c2w_guess)[:3, 3], axis=-1)
+            cand = int(np.argmin(d))
+            cand_t = int(round(float(ts_all[cand])))
+            rel_gt = np.linalg.inv(dataset.gt_c2w(cand_t)) @ \
+                dataset.gt_c2w(cur_t)
+            return np.asarray(cur_c2w) @ np.linalg.inv(rel_gt)
+
+        looper.detector.detect = gt_detect
+
     def _ate_now():
         d = tempfile.mkdtemp(prefix="loop_e2e_snap_")
         save_trajectory(tracker, d)
@@ -111,6 +167,8 @@ def main(argv=None):
     closure_deltas = []   # per accepted closure: ATE right before/after
     for idx in range(args.frames):
         pkt = dataset[idx]
+        if metric is not None:
+            pkt["depth"] = metric.predict(pkt["rgb"], pkt["intrinsic"])
         tracker.track(pkt)
         viz_out = judge_and_package(tracker, cfg)
         if viz_out is not None:
@@ -165,10 +223,14 @@ def main(argv=None):
     # post-loop ATE must beat this for the closure to count (VERDICT r3 #1)
     ate_nl = None
     if not args.skip_baseline:
-        dataset2, tracker2, mapper2, *_ = build(cfg)
+        dataset2, tracker2, mapper2, _l2, _s2, metric2, _d2 = build(cfg)
         dataset2.tex = synthetic3d.texture_params(5, sharpness=1.0)
         for idx in range(args.frames):
-            tracker2.track(dataset2[idx])
+            pkt2 = dataset2[idx]
+            if metric2 is not None:
+                pkt2["depth"] = metric2.predict(pkt2["rgb"],
+                                                pkt2["intrinsic"])
+            tracker2.track(pkt2)
             vo2 = judge_and_package(tracker2, cfg)
             if vo2 is not None:
                 mapper2.run(vo2)
