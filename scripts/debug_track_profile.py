@@ -59,8 +59,10 @@ def main(argv=None):
     run_tracking(cfg, d, max_frames=args.frames)
     dataset = get_dataset(cfg)
 
-    c2w = np.load(os.path.join(d, "droid_c2w", "c2w.npy"))
-    tss = np.load(os.path.join(d, "droid_c2w", "tstamps.npy"))
+    pose_dir = os.path.join(d, "droid_c2w")
+    files = sorted(os.listdir(pose_dir), key=lambda f: float(f[:-4]))
+    tss = np.asarray([float(f[:-4]) for f in files])
+    c2w = np.stack([np.loadtxt(os.path.join(pose_dir, f)) for f in files])
     rows = []
     for k in range(1, len(tss)):
         a, b = int(round(float(tss[k - 1]))), int(round(float(tss[k])))

@@ -27,6 +27,12 @@ def main(argv=None):
     p.add_argument("--revs", type=float, default=1.6)
     p.add_argument("--grid", default="2x1,4x2",
                    help="comma list of iters1xiters2 combos")
+    p.add_argument("--cv", type=float, default=1.0,
+                   help="constant-velocity seeding strength "
+                        "(frontend.motion_model_alpha; 0 = identity seed)")
+    p.add_argument("--metric-weights", default=None,
+                   help="DPT metric-depth weights -> use_metric lane "
+                        "(disps_sens pins the depth gauge)")
     p.add_argument("--out", default=None)
     args = p.parse_args(argv)
 
@@ -42,6 +48,10 @@ def main(argv=None):
         it1, it2 = (int(x) for x in combo.split("x"))
         cfg = load_config(overrides={
             "mode": "vo",
+            **({"use_metric": True,
+                "metric": {"backend": "flax",
+                           "weights": args.metric_weights,
+                           "d_max": 80.0}} if args.metric_weights else {}),
             "dataset": {"module": "synthetic3d", "n_frames": args.frames,
                         "room": 4.0, "revs": args.revs, "tex_seed": 5,
                         "sharpness": 1.0},
@@ -57,6 +67,7 @@ def main(argv=None):
                 "iters1": it1, "iters2": it2, "active_window": 12,
                 "max_age": 12, "rollup_at": 48, "rollup_n": 16,
                 "save_buffer": 256, "weight": args.weights,
+                "motion_model_alpha": args.cv,
             },
         })
         d = tempfile.mkdtemp(prefix=f"track_long_{combo}_")

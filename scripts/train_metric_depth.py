@@ -66,7 +66,7 @@ def main():
     enable_compile_cache()
     import optax
 
-    model = DPTDepth(**ARCH)
+    model = DPTDepth(**{k: v for k, v in ARCH.items() if k != "hw"})
     params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, H, W, 3)))
     warmup = min(100, max(args.steps // 10, 1))
     sched = optax.warmup_cosine_decay_schedule(

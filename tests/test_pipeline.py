@@ -135,3 +135,30 @@ def test_session_checkpoint_resume(tmp_path):
     assert np.all(np.isfinite(np.asarray(
         t2.video.bufs.poses[:t2.video.counter])))
     assert m2.n_alive > 100
+
+
+@pytest.mark.slow
+def test_vo_nerfslam_e2e(tmp_path):
+    """vo_nerfslam mode end-to-end (VERDICT r4 ask #7): the NeRF-SLAM-style
+    dirty-BA-window packaging (middleware.judge_and_package_nerfslam, ref
+    visual_frontend.py:1544-1616) must drive the mapper to a usable map —
+    finite poses, a trained map, and a sane render PSNR, not just shapes."""
+    from vings_mono_tpu.runners.evaluate import eval_psnr
+
+    cfg = make_cfg(tmp_path)
+    cfg["mode"] = "vo_nerfslam"
+    # textured stream so PSNR is meaningful (the flat 'synthetic' module's
+    # sinusoids converge trivially)
+    cfg["dataset"] = {"module": "synthetic3d", "n_frames": 16}
+    save_dir = str(tmp_path / "run_nerfslam")
+    os.makedirs(os.path.join(save_dir, "ply"), exist_ok=True)
+    tracker, mapper, _ = run_pipeline(cfg, save_dir)
+
+    poses = np.asarray(tracker.video.bufs.poses[:tracker.video.counter])
+    assert np.all(np.isfinite(poses))
+    assert mapper.initialized and mapper.n_alive > 100
+    # depths_cov must flow through the nerfslam packaging (its signature
+    # feature: per-pixel depth covariance weighting)
+    psnr = eval_psnr(mapper, tracker, n_eval=4)
+    assert psnr is not None and np.isfinite(psnr)
+    assert psnr > 11.0, f"vo_nerfslam map PSNR {psnr}"

@@ -125,3 +125,34 @@ def test_keyframe_distance_prefetch_consumed():
     assert getattr(tr.frontend, "_kf_dist_hits", 0) >= 3
     assert np.all(np.isfinite(np.asarray(
         tr.video.bufs.poses[:tr.video.counter])))
+
+
+def test_cv_seed_kernel_constant_velocity():
+    """Constant-velocity seeding (r5): with two poses one twist apart,
+    the seeded slot must continue the motion; alpha=0 falls back to the
+    identity-motion seed (the reference's VO behavior)."""
+    from vings_mono_tpu.tracker.video import empty_buffers
+    from vings_mono_tpu.tracker.frontend import _seed_next_kernel
+    from vings_mono_tpu.ops import lie
+
+    def mk():
+        bufs = empty_buffers(16, 48, 64)
+        p0 = lie.se3_identity()
+        xi = jnp.asarray([0.1, 0.0, 0.0, 0.0, 0.2, 0.0])
+        p1 = lie.se3_mul(lie.se3_exp(xi), p0)
+        return (bufs.replace(poses=bufs.poses.at[0].set(p0)
+                             .at[1].set(p1)), p1, xi)
+
+    bufs, p1, xi = mk()
+    out = _seed_next_kernel(bufs, jnp.asarray([2, 0], np.int32), 1.0)
+    expect = lie.se3_mul(lie.se3_exp(xi), p1)
+    assert np.allclose(out.poses[2], expect, atol=1e-5)
+
+    bufs2, p1b, _ = mk()
+    out0 = _seed_next_kernel(bufs2, jnp.asarray([2, 0], np.int32), 0.0)
+    assert np.allclose(out0.poses[2], p1b, atol=1e-7)
+
+    # init flag keeps the identity seed even with alpha on
+    bufs3, p1c, _ = mk()
+    outi = _seed_next_kernel(bufs3, jnp.asarray([2, 1], np.int32), 1.0)
+    assert np.allclose(outi.poses[2], p1c, atol=1e-7)

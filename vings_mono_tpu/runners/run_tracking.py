@@ -29,6 +29,12 @@ def run(cfg, save_dir, max_frames=None):
             tracker.video, cfg, dataset.preload_imu(),
             np.asarray(cfg["frontend"]["c2i"])))
 
+    # metric-depth prior (reference run.py:73-75 -> disps_sens)
+    metric = None
+    if cfg.get("use_metric"):
+        from ..models.metric_depth import MetricDepth
+        metric = MetricDepth(cfg)
+
     dump_dir = os.path.join(save_dir, "vizout_dict")
     if cfg.get("debug_mode"):
         os.makedirs(dump_dir, exist_ok=True)
@@ -37,7 +43,10 @@ def run(cfg, save_dir, max_frames=None):
                                                     max_frames)
     kf = 0
     for idx in range(n):
-        tracker.track(dataset[idx])
+        pkt = dataset[idx]
+        if metric is not None:
+            pkt["depth"] = metric.predict(pkt["rgb"], pkt["intrinsic"])
+        tracker.track(pkt)
         viz_out = judge_and_package(tracker, cfg)
         if viz_out is not None and cfg.get("debug_mode"):
             save_viz_out(os.path.join(dump_dir, f"vizout_{kf:06d}.npz"),

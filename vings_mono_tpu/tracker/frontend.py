@@ -24,19 +24,39 @@ from .graph import CovisibleGraph
 from .video import DepthVideo
 
 
-@functools.partial(jax.jit, donate_argnums=(0,))
-def _seed_next_kernel(bufs, packed):
-    """poses[t1] = poses[t1-1]; disps[t1] = mean of recent disps — one
-    compiled program with traced indices (per-frame python-int indexing
-    would recompile every frame). packed = [t1, init_flag] in one upload."""
+@functools.partial(jax.jit, donate_argnums=(0,), static_argnums=(2,))
+def _seed_next_kernel(bufs, packed, cv_alpha):
+    """Seed slot t1 for the incoming frame: pose from a damped constant-
+    velocity motion model (cv_alpha in [0,1]; 0 = the identity-motion
+    seeding of the reference's VO path), disps[t1] = mean of recent disps.
+    One compiled program with traced indices (per-frame python-int
+    indexing would recompile every frame). packed = [t1, init_flag].
+
+    Rationale (measured r5): at ~3.6 deg/frame yaw the GRU+BA must pull
+    the full inter-frame motion from flow every frame when seeded with
+    identity; under-pulling accumulates into systematic rotation drift
+    (~3 deg/step on the 160-frame orbit). Predicting exp(alpha*log(rel))
+    ahead leaves BA only the deviation from constant velocity — the
+    standard monocular-SLAM motion model (the reference instead predicts
+    with IMU when available, dbaf_frontend.py:242-247)."""
+    from ..ops import lie
     t1, init_flag = packed[0], packed[1] != 0
     prev = bufs.poses[t1 - 1]
+    if cv_alpha > 0.0:
+        prev2 = bufs.poses[jnp.maximum(t1 - 2, 0)]
+        rel = lie.se3_mul(prev, lie.se3_inv(prev2))    # w2c: X_k ~ rel*X_{k-1}
+        xi = lie.se3_log(rel)
+        pred = lie.se3_mul(lie.se3_exp(xi * cv_alpha), prev)
+        pred = jnp.where(jnp.isfinite(pred).all(), pred, prev)
+        seed = jnp.where(init_flag | (t1 < 2), prev, pred)
+    else:
+        seed = prev
     win = jax.lax.dynamic_slice_in_dim(bufs.disps, jnp.maximum(t1 - 4, 0),
                                        4, axis=0)
     mean4 = jnp.mean(win)
     mean1 = jnp.mean(bufs.disps[t1 - 1])
     mean = jnp.where(init_flag, mean4, mean1)
-    return bufs.replace(poses=bufs.poses.at[t1].set(prev),
+    return bufs.replace(poses=bufs.poses.at[t1].set(seed),
                         disps=bufs.disps.at[t1].set(mean))
 
 
@@ -65,6 +85,9 @@ class Frontend:
         self.frontend_radius = int(fe.get("frontend_radius", 2))
         self.active_window = int(fe.get("active_window", 12))
         self.max_age = int(fe.get("max_age", 25))
+        # constant-velocity seeding strength; VIO overrides the seed with
+        # IMU prediction anyway (inertial.on_new_frame)
+        self.cv_alpha = float(fe.get("motion_model_alpha", 1.0))
         # 'vo_nerfslam' consolidates onto the VO tracker with per-frame
         # depth covariance (the reference's frontend_vo variant, SURVEY §2.3)
         self.visual_only = cfg.get("mode", "vo") in ("vo", "vo_nerfslam")
@@ -248,4 +271,5 @@ class Frontend:
     def _seed_next(self, init=False):
         self.video.bufs = _seed_next_kernel(
             self.video.bufs,
-            jnp.asarray(np.asarray([self.t1, 1 if init else 0], np.int32)))
+            jnp.asarray(np.asarray([self.t1, 1 if init else 0], np.int32)),
+            self.cv_alpha)
