@@ -67,7 +67,9 @@ def main():
                 "intrinsic": np.asarray([220.0, 220.0, W / 2, H / 2],
                                         np.float32)}
 
-    n_warm, n_meas = 12, 20
+    # n_meas 60 (VERDICT r4 #4d): at 20 frames the FPS number moved with
+    # a single stray compile/GC pause; 60 amortizes those to <2%
+    n_warm, n_meas = 12, 60
     # warmup triggers every compilation path (init, update, rollup, mapping)
     for k in range(n_warm):
         tracker.track(frame(k))

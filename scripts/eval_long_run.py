@@ -140,7 +140,11 @@ def main(argv=None):
             out["pagein_events"] = storage.pagein_events
             out["host_rows_end"] = storage.n_host
         if use_gba:
-            stats = GlobalBA(tracker, cfg).run()
+            loop_pairs = [(t["cand_gid"], t["cur_gid"])
+                          for t in getattr(looper, "loop_traces", [])
+                          if "rejected" not in t] if looper else []
+            stats = GlobalBA(tracker, cfg, extra_edges=loop_pairs).run()
+            out["global_ba_loop_edges"] = len(loop_pairs)
             out["global_ba"] = {k: int(v) if isinstance(v, (int, np.integer))
                                 else bool(v) for k, v in stats.items()}
             out["ate_after_global_ba_m"] = _ate(tracker, dataset)

@@ -43,6 +43,10 @@ def main(argv=None):
     p.add_argument("--points-per-frame", type=int, default=4000)
     p.add_argument("--iters1", type=int, default=2)
     p.add_argument("--iters2", type=int, default=1)
+    p.add_argument("--cv", type=float, default=0.0,
+                   help="frontend.motion_model_alpha (measured r5: full "
+                        "CV seeding degrades the 160-frame orbit 1.51->"
+                        "1.63; identity is the reference VO behavior)")
     p.add_argument("--metric-weights", default=None,
                    help="DPT metric-depth weights: enables use_metric so "
                         "disps_sens pins the depth gauge (the reference's "
@@ -90,6 +94,7 @@ def main(argv=None):
             "iters2": args.iters2,
             "active_window": 12, "max_age": 12, "rollup_at": 48,
             "rollup_n": 16, "save_buffer": 256,
+            "motion_model_alpha": args.cv,
             **({"weight": args.droid_weights} if args.droid_weights
                else {}),
         },

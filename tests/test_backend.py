@@ -323,3 +323,28 @@ def test_global_ba_recovers_drifted_trajectory():
                             np.asarray(video.bufs.poses[:nl])])
     err1 = _ate(after, np.asarray(gt_poses))
     assert err1 < 0.55 * err0, (err0, err1)
+
+
+def test_build_edges_injects_loop_pairs():
+    """Accepted online loop closures must enter the terminate-pass edge
+    set even when they lie far outside the banded proposal (r5: the
+    banded solver widens to the longest edge, so the revisit anchors
+    survive into the global solve)."""
+    rng = np.random.default_rng(11)
+    cfg = load_config(overrides={
+        "backend": {"thresh": 3.0, "nms": 2, "radius": 2, "degree_cap": 6,
+                    "band": 8}})
+    tracker = _FakeTracker()
+    tracker.cfg = cfg
+    T = 80
+    poses, disps, intr8 = _loopy_trajectory(rng, T)
+    gba = GlobalBA(tracker, cfg, extra_edges=[(5, 70), (12, 60)])
+    ii, jj = gba._build_edges(T, poses, disps, intr8, T)
+    got = set(zip(ii.tolist(), jj.tolist()))
+    # both directions of both loop pairs, despite |i-j| >> band
+    for a, b in [(5, 70), (12, 60)]:
+        assert (a, b) in got and (b, a) in got
+    # out-of-range pairs are ignored, not fatal
+    gba2 = GlobalBA(tracker, cfg, extra_edges=[(-1, 5), (3, 400), (7, 7)])
+    ii2, jj2 = gba2._build_edges(T, poses, disps, intr8, T)
+    assert len(ii2) > 0

@@ -120,8 +120,11 @@ def run(cfg, save_dir, max_frames=None, on_frame=None, resume=None,
         # terminate pass: full-trajectory BA removes the online drift the
         # sliding window could not (ref visual_frontend.py:1460-1542)
         from ..tracker.backend import GlobalBA
+        loop_pairs = [(t["cand_gid"], t["cur_gid"])
+                      for t in getattr(looper, "loop_traces", [])
+                      if "rejected" not in t] if looper is not None else []
         with timer("global_ba"):
-            stats = GlobalBA(tracker, cfg).run()
+            stats = GlobalBA(tracker, cfg, extra_edges=loop_pairs).run()
         print(f"global BA: {stats}")
     save_trajectory(tracker, save_dir)
     mapper.save_ply(os.path.join(save_dir, "ply", "final_2dgs.ply"))

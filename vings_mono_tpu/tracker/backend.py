@@ -110,8 +110,16 @@ def _gru_chunk(params, update_apply, fmaps, inps, poses, disps, intrinsics,
 class GlobalBA:
     """End-of-run global BA over save + live keyframe buffers."""
 
-    def __init__(self, tracker, cfg=None):
+    def __init__(self, tracker, cfg=None, extra_edges=None):
         self.tracker = tracker
+        # accepted online loop closures (cand_gid, cur_gid): re-measured
+        # visually at terminate so the revisit constraint anchors the
+        # global solve (the reference's backend proposes from the full
+        # T^2 distance matrix, visual_frontend.py:1460-1542, so its loop
+        # pairs re-enter by distance; the banded proposal needs them
+        # injected explicitly)
+        self.extra_edges = [(int(a), int(b)) for a, b in
+                            (extra_edges or [])]
         be = ((cfg or tracker.cfg).get("backend") or {})
         self.steps = int(be.get("steps", 6))
         self.gn_iters = int(be.get("iters", 2))
@@ -204,6 +212,13 @@ class GlobalBA:
 
         for i in range(T - 1):            # consecutive edges always in
             try_add(i, i + 1)
+
+        # accepted loop closures enter unconditionally (before the
+        # degree-capped distance fill): the revisit pairs are the only
+        # long-range anchors and the banded solver widens to cover them
+        for a, b in self.extra_edges:
+            if 0 <= a < T and 0 <= b < T and a != b:
+                try_add(min(a, b), max(a, b))
 
         # symmetric mean distance over the upper band j - i in [radius,
         # band], thresholded, then sorted exactly like the tuple sort of

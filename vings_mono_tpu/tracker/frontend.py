@@ -86,8 +86,12 @@ class Frontend:
         self.active_window = int(fe.get("active_window", 12))
         self.max_age = int(fe.get("max_age", 25))
         # constant-velocity seeding strength; VIO overrides the seed with
-        # IMU prediction anyway (inertial.on_new_frame)
-        self.cv_alpha = float(fe.get("motion_model_alpha", 1.0))
+        # IMU prediction anyway (inertial.on_new_frame). Default 0 =
+        # identity-motion seeding (the reference's VO behavior): measured
+        # r5 on the 160-frame orbit, full CV seeding DEGRADES ATE
+        # 1.507 -> 1.631 (it amplifies last-step BA noise instead of
+        # fixing a systematic under-pull)
+        self.cv_alpha = float(fe.get("motion_model_alpha", 0.0))
         # 'vo_nerfslam' consolidates onto the VO tracker with per-frame
         # depth covariance (the reference's frontend_vo variant, SURVEY §2.3)
         self.visual_only = cfg.get("mode", "vo") in ("vo", "vo_nerfslam")
