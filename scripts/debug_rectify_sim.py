@@ -64,10 +64,15 @@ def sim3_ate(est, gt):
     return ate_rmse(ts, list(est), ts, list(gt))
 
 
-def close_at(c2ws, gt, cur, cand, rescale="track"):
+def close_at(c2ws, gt, cur, cand, rescale="track", bend_from=None):
     """Perfect-measurement closure exactly as LoopModel.run composes it:
     rel_meas = GT relative pose, optionally magnitude-rescaled into the
-    chain's own gauge, then rectify_poses to the target."""
+    chain's own gauge, then rectify_poses to the target.
+
+    bend_from: start of the BEND segment (>= cand). The loop constraint
+    is still cand->cur, but frames already consistent (corrected by a
+    previous closure) are held fixed and only the newly drifted tail is
+    bent."""
     rel_gt = np.linalg.inv(gt[cand]) @ gt[cur]
     rel_track = np.linalg.inv(c2ws[cand]) @ c2ws[cur]
     rel_used = rel_gt.copy()
@@ -77,7 +82,8 @@ def close_at(c2ws, gt, cur, cand, rescale="track"):
         if nm > 1e-9:
             rel_used[:3, 3] *= nt / nm
     target_cur = c2ws[cand] @ rel_used
-    return rectify_poses(c2ws, cand, cur, target_cur)
+    a = cand if bend_from is None else max(cand, min(bend_from, cur - 1))
+    return rectify_poses(c2ws, a, cur, target_cur)
 
 
 def main():
@@ -86,6 +92,10 @@ def main():
     p.add_argument("--revs", type=float, default=1.6)
     p.add_argument("--seeds", type=int, default=5)
     p.add_argument("--rescale", default="track", choices=["track", "none"])
+    p.add_argument("--bend-from-last", action="store_true",
+                   help="bend only the segment after the previous "
+                        "closure's endpoint (new drift), holding the "
+                        "already-corrected chain fixed")
     args = p.parse_args()
 
     gt = gt_orbit(args.frames, args.revs)
@@ -97,9 +107,13 @@ def main():
         est = drift(gt, rng)
         a0 = sim3_ate(est, gt)
         deltas = []
+        last_cur = None
         for cur, cand in closures:
             b = sim3_ate(est, gt)
-            est = close_at(est, gt, cur, cand, rescale=args.rescale)
+            bf = last_cur if args.bend_from_last else None
+            est = close_at(est, gt, cur, cand, rescale=args.rescale,
+                           bend_from=bf)
+            last_cur = cur
             deltas.append((round(b, 3), round(sim3_ate(est, gt), 3)))
         rows.append({"seed": seed, "ate_start": round(a0, 3),
                      "ate_end": round(sim3_ate(est, gt), 3),

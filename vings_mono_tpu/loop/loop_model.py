@@ -192,24 +192,33 @@ class LoopModel:
                 continue
             self.loop_traces.append(trace)
             old_c2ws = c2ws.copy()
-            # end the bend at the BA window's base and carry the live
-            # optimization window RIGIDLY to the endpoint target: any
-            # relative-pose change inside the active window is a pseudo-
-            # measurement conflict the next BA updates fight (and partially
-            # undo, smearing the correction into a seam — measured as
-            # accelerating post-closure drift 0.78 -> 1.38 on the toy
-            # trajectory whose chain sat almost entirely inside the window;
-            # at the reference's operating scale the chain is mostly
-            # marginalized save-buffer frames and this matches its behavior)
+            # bend ONLY the newly drifted segment:
+            #  - start at the previous closure's endpoint (r5, measured in
+            #    scripts/debug_rectify_sim: spreading the NEW drift of the
+            #    last few keyframes uniformly over the whole cand..cur
+            #    chain re-bends the already-corrected part and turns
+            #    successive closures net-negative — 5/5 drifted-orbit
+            #    seeds improve with the bend pinned to the new segment,
+            #    0/5 without);
+            #  - end at the BA window's base and carry the live window
+            #    RIGIDLY to the endpoint target: any relative-pose change
+            #    inside the active window is a pseudo-measurement conflict
+            #    the next BA updates fight (measured r4: post-closure
+            #    drift 0.78 -> 1.38 when bending into the window)
             base_g = tracker.video.count_save + \
                 max(0, tracker.frontend.t1 - tracker.graph.w_ba)
-            if cand + 1 < base_g <= cur_gid:
-                corr_end = target_cur @ np.linalg.inv(c2ws[cur_gid])
-                b_bend = base_g - 1
-                new_c2ws = rectify_poses(c2ws, cand, b_bend,
+            a_bend = max(cand, self.closed_at[-1]) if self.closed_at \
+                else cand
+            b_bend = base_g - 1 if cand + 1 < base_g <= cur_gid else cur_gid
+            corr_end = target_cur @ np.linalg.inv(c2ws[cur_gid])
+            if a_bend < b_bend:
+                new_c2ws = rectify_poses(c2ws, a_bend, b_bend,
                                          corr_end @ c2ws[b_bend])
             else:
-                new_c2ws = rectify_poses(c2ws, cand, cur_gid, target_cur)
+                # nothing left to bend (all new drift sits inside the
+                # rigid live window): carry everything after a_bend
+                new_c2ws = c2ws.copy()
+                new_c2ws[a_bend + 1:] = corr_end[None] @ c2ws[a_bend + 1:]
             rectify_gaussians(mapper, old_c2ws[:len(new_c2ws)], new_c2ws)
             # depth writeback over the rectified span keeps saved
             # disparities consistent with the re-anchored map
