@@ -25,7 +25,8 @@ cputime() {
 }
 
 for attempt in 1 2 3; do
-    "$@" > "$log" 2>&1 &
+    if [ "$attempt" = 1 ]; then : > "$log"; fi   # append on retries
+    "$@" >> "$log" 2>&1 &
     pid=$!
     last=0
     hung=0

