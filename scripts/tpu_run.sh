@@ -31,10 +31,12 @@ for attempt in 1 2 3; do
     last=0
     hung=0
     while kill -0 $pid 2>/dev/null; do
-        sleep 150
+        sleep 240
         kill -0 $pid 2>/dev/null || break
         c=$(cputime $pid)
         if [ $((c - last)) -lt 500 ]; then   # <5s CPU over the window
+            # (240s window: the axon first-touch futex hang usually
+            # self-resolves in ~4-6 min — killing at 150s thrashes)
             echo "tpu_run: attempt $attempt stalled (jiffies $last -> $c), retrying" >> "$log"
             kill $pid 2>/dev/null; sleep 3
             kill -9 $pid $(pgrep -P "$pid" 2>/dev/null) 2>/dev/null
